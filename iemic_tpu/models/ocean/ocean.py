@@ -1,0 +1,461 @@
+"""The Ocean model: THCM dynamical core behind the Model contract.
+
+TPU-native analog of the reference's Ocean + THCM pair
+(src/ocean/Ocean.C/H, src/ocean/THCM.C/H): owns the state, parameter
+vector, dependency tensor (the matrix-free Jacobian), forcing, mass
+matrix and the FGMRES solve; implements the Model contract used by the
+continuation / Newton / transient drivers
+(reference src/utils/Model.H:21-145).
+
+All heavy computation is in jitted pure functions of (state, par); the
+class is a thin stateful shell holding the current arrays, mirroring
+the reference's imperative Model interface so that the outer algorithms
+can be shared verbatim between models.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...config import ParameterList
+from ...grid import Grid, make_grid
+from ...ops.stencil import (UU, VV, WW, PP, TT, SS, apply_stencil, to_flat,
+                            from_flat)
+from ...solvers.fgmres import fgmres, _fgmres_flat
+from ...utils import logging as log
+from . import assembly, constants as c, landmask as lm
+from .assembly import CouplingCoefs, ForcingFields
+
+
+def default_thcm_params() -> ParameterList:
+    """THCM defaults (reference THCM.C:2749-2814)."""
+    p = ParameterList("THCM")
+    p.set("Problem Description", "Unnamed")
+    p.set("Global Grid-Size n", 16)
+    p.set("Global Grid-Size m", 16)
+    p.set("Global Grid-Size l", 16)
+    p.set("Global Bound xmin", 286.0)
+    p.set("Global Bound xmax", 350.0)
+    p.set("Global Bound ymin", 10.0)
+    p.set("Global Bound ymax", 74.0)
+    p.set("Periodic", False)
+    p.set("Depth hdim", 4000.0)
+    p.set("Grid Stretching qz", 1.0)
+    p.set("Topography", 1)
+    p.set("Flat Bottom", False)
+    p.set("Compute salinity integral", True)
+    p.set("Read Land Mask", False)
+    p.set("Land Mask", "no_mask_specified")
+    p.set("Inhomogeneous Mixing", 0)
+    p.set("Mixing", 1)
+    p.set("Rho Mixing", True)
+    p.set("Taper", 1)
+    p.set("Linear EOS: alpha T", 1.0e-4)
+    p.set("Linear EOS: alpha S", 7.6e-4)
+    p.set("Restoring Temperature Profile", 1)
+    p.set("Restoring Salinity Profile", 1)
+    p.set("Local SRES Only", False)
+    p.set("Salinity Integral Sign", -1)
+    p.set("Levitus T", 1)
+    p.set("Levitus S", 1)
+    p.set("Levitus Internal T/S", False)
+    p.set("Coupled Temperature", 0)
+    p.set("Coupled Salinity", 0)
+    p.set("Coupled Sea Ice Mask", 1)
+    p.set("Fix Pressure Points", False)
+    p.set("Coriolis Force", 1)
+    p.set("Forcing Type", 0)
+    p.set("Read Salinity Perturbation Mask", False)
+    p.set("Salinity Perturbation Mask", "no_mask_specified")
+    p.set("Wind Forcing Type", 2)
+    p.set("Wind Forcing Data", "wind/trtau.dat")
+    p.set("Temperature Forcing Data", "levitus/new/t00an1")
+    p.set("Salinity Forcing Data", "levitus/new/s00an1")
+    p.set("Time Dependent Forcing", False)
+    p.set("Integral row coordinate i", -1)
+    p.set("Integral row coordinate j", -1)
+    p.set("Scaling", "THCM")
+    # all continuation-parameter names are valid starting parameters
+    # (reference THCM::getDefaultParameters, THCM.C:2817-2828)
+    sp = ParameterList("Starting Parameters")
+    for name in c.PAR_NAMES:
+        sp.set(name, float("nan"))
+    p.set("Starting Parameters", sp)
+    return p
+
+
+def default_ocean_params() -> ParameterList:
+    p = ParameterList("Ocean")
+    p.set("Load state", False)
+    p.set("Save state", False)
+    p.set("Input file", "ocean_input.h5")
+    p.set("Output file", "ocean_output.h5")
+    p.set("Save mask", True)
+    p.set("Load mask", True)
+    p.set("Store everything", False)
+    p.set("Save frequency", 0)
+    p.set("Use legacy fort.3 output", False)
+    p.set("Save salinity flux", False)
+    p.set("Save temperature flux", False)
+    p.set("Max mask fixes", 5)
+    p.set("Analyze Jacobian", False)
+    p.set("THCM", default_thcm_params())
+    return p
+
+
+def default_solver_params() -> ParameterList:
+    p = ParameterList("solver")
+    p.set("FGMRES tolerance", 1e-8)
+    p.set("FGMRES iterations", 500)
+    p.set("FGMRES restarts", 0)
+    p.set("FGMRES output", 10)
+    p.set("FGMRES explicit residual test", False)
+    p.set("Preconditioning", "None")
+    return p
+
+
+@dataclass
+class OceanConfig:
+    """Static (hashable) configuration distilled from the parameter
+    lists; everything jit-relevant and compile-time constant."""
+    n: int
+    m: int
+    l: int
+    periodic: bool
+    tres: int
+    sres: int
+    its: int
+    ite: int
+    iza: int
+    coupled_T: int
+    coupled_S: int
+    forcing_type: int
+    coriolis_on: int
+    ih: int
+    vmix: int
+    rho_mixing: bool
+    tap: int
+    int_sign: int
+    fix_pressure_points: bool
+    scaling: str
+    nic: int            # integral condition cell i (0-based)
+    mic: int            # integral condition cell j (0-based)
+
+
+class Ocean:
+    """Ocean model implementing the Model contract."""
+
+    def __init__(self, params: ParameterList | dict | None = None,
+                 solver_params: ParameterList | dict | None = None,
+                 data_dir: str | None = None):
+        if params is None:
+            params = ParameterList("Ocean")
+        if isinstance(params, dict):
+            params = ParameterList("Ocean", params)
+        params.validate_and_set_defaults(default_ocean_params())
+        self.params = params
+
+        if solver_params is None:
+            solver_params = ParameterList("solver")
+        if isinstance(solver_params, dict):
+            solver_params = ParameterList("solver", solver_params)
+        solver_params.validate_and_set_defaults(default_solver_params())
+        self.solver_params = solver_params
+
+        t = params.sublist("THCM")
+        n = t.get("Global Grid-Size n")
+        m = t.get("Global Grid-Size m")
+        l = t.get("Global Grid-Size l")
+        periodic = bool(t.get("Periodic"))
+
+        self.grid: Grid = make_grid(
+            n, m, l,
+            xmin_deg=t.get("Global Bound xmin"),
+            xmax_deg=t.get("Global Bound xmax"),
+            ymin_deg=t.get("Global Bound ymin"),
+            ymax_deg=t.get("Global Bound ymax"),
+            hdim=t.get("Depth hdim"),
+            qz=t.get("Grid Stretching qz"),
+            periodic=periodic)
+
+        nic = t.get("Integral row coordinate i")
+        mic = t.get("Integral row coordinate j")
+        self.cfg = OceanConfig(
+            n=n, m=m, l=l, periodic=periodic,
+            tres=t.get("Restoring Temperature Profile"),
+            sres=t.get("Restoring Salinity Profile"),
+            its=t.get("Levitus S"), ite=t.get("Levitus T"),
+            iza=t.get("Wind Forcing Type"),
+            coupled_T=t.get("Coupled Temperature"),
+            coupled_S=t.get("Coupled Salinity"),
+            forcing_type=t.get("Forcing Type"),
+            coriolis_on=t.get("Coriolis Force"),
+            ih=t.get("Inhomogeneous Mixing"),
+            vmix=t.get("Mixing"),
+            rho_mixing=bool(t.get("Rho Mixing")),
+            tap=t.get("Taper"),
+            int_sign=t.get("Salinity Integral Sign"),
+            fix_pressure_points=bool(t.get("Fix Pressure Points")),
+            scaling=t.get("Scaling"),
+            nic=(n - 1 if nic == -1 else nic),
+            mic=(m - 1 if mic == -1 else mic),
+        )
+        cfg = self.cfg
+
+        # ---- land mask ----------------------------------------------
+        itopo = t.get("Topography")
+        if t.get("Read Land Mask"):
+            mask_file = t.get("Land Mask")
+            path = mask_file if os.path.exists(mask_file) else \
+                os.path.join(data_dir or ".", "mkmask", mask_file)
+            raw = lm.read_mask_file(path, self.grid)
+        elif itopo == 1:
+            raw = lm.no_land(self.grid)
+        else:
+            raise NotImplementedError(f"Topography option {itopo}")
+        self.landm = lm.finalize_mask(raw, self.grid, periodic,
+                                      flat=bool(t.get("Flat Bottom")))
+
+        # ---- forcing fields -----------------------------------------
+        fields = {}
+        if t.get("Read Salinity Perturbation Mask"):
+            spath = t.get("Salinity Perturbation Mask")
+            if os.path.exists(spath):
+                fields["spert"] = jnp.asarray(
+                    lm.read_spert_mask(spath, self.grid, self.landm))
+        self.fields = ForcingFields(**fields)
+        self.cpl = CouplingCoefs()
+
+        # nondimensionalization for body forcing (usrc.F90:125-127)
+        dzne = self.grid.dz * self.grid.dfzT[l - 1]
+        self.QTnd = c.R0DIM / (c.UDIM * c.CP0 * c.RHODIM
+                               * self.grid.hdim * dzne)
+        self.QSnd = c.S0 * c.R0DIM / (c.DELTAS * c.UDIM
+                                      * self.grid.hdim * dzne)
+
+        # ---- linear atoms & parameters ------------------------------
+        self.atoms = assembly.build_linear_atoms(
+            self.grid, self.landm, ih=cfg.ih, coriolis_on=cfg.coriolis_on)
+
+        alphaT = t.get("Linear EOS: alpha T")
+        alphaS = t.get("Linear EOS: alpha S")
+        self.par = jnp.asarray(c.stpnt(self.grid.hdim, self.grid.dz,
+                                       self.grid.dfzT[l - 1],
+                                       alphaT, alphaS))
+        for name, val in t.sublist("Starting Parameters").items():
+            if not (isinstance(val, float) and np.isnan(val)):
+                self.set_par(name, val)
+
+        # integral-condition machinery
+        self.int_coeff = jnp.asarray(
+            assembly.intcond_coeff(self.grid, self.landm))
+        self.int_correction = 0.0
+        self.rowintcon = (SS, l - 1, cfg.mic, cfg.nic)  # field index
+        if cfg.sres == 0:
+            if self.landm[l, cfg.mic + 1, cfg.nic + 1] != 0:
+                raise RuntimeError(
+                    "Integral row coordinates give a land point")
+
+        # ---- state --------------------------------------------------
+        self.state = jnp.zeros((6, l, m, n))
+        self.rhs = jnp.zeros_like(self.state)
+        self.sol = jnp.zeros_like(self.state)
+        self.jac = None     # dependency tensor (27,6,6,l,m,n)
+        self.diagB = None
+
+        self._build_jitted()
+        log.INFO(f"Ocean: initialized {n}x{m}x{l} grid, "
+                 f"periodic={periodic}, ndim={self.grid.ndim}")
+
+    # ------------------------------------------------------------------
+    # jitted computational core
+    # ------------------------------------------------------------------
+    def _build_jitted(self):
+        cfg = self.cfg
+        grid = self.grid
+        landm = self.landm
+        atoms = self.atoms
+        QTnd, QSnd = self.QTnd, self.QSnd
+        ir = self.rowintcon
+
+        interior = jnp.asarray(
+            1.0 - landm[1:cfg.l + 1, 1:cfg.m + 1,
+                        1:cfg.n + 1].astype(np.float64))
+
+        def _frc(par, fields, cpl):
+            Frc = assembly.forcing(
+                par, grid, landm, tres=cfg.tres, sres=cfg.sres,
+                its=cfg.its, ite=cfg.ite, iza=cfg.iza,
+                coupled_T=cfg.coupled_T, coupled_S=cfg.coupled_S,
+                forcing_type=cfg.forcing_type, cpl=cpl, fields=fields,
+                QTnd=QTnd, QSnd=QSnd)
+            return assembly.boundary_frc_zero(Frc, landm, grid)
+
+        def _lin(par, fields, cpl):
+            msi = fields.msi if fields.msi is not None else \
+                jnp.zeros((cfg.m, cfg.n))
+            return assembly.lin(
+                atoms, par, grid, tres=cfg.tres, sres=cfg.sres,
+                coupled_T=cfg.coupled_T, coupled_S=cfg.coupled_S,
+                cpl=cpl, msi=msi, QTnd=QTnd, QSnd=QSnd)
+
+        int_coeff = self.int_coeff
+
+        def _rhs(x, par, fields, cpl, int_correction):
+            """Ocean-convention residual F(x)  (THCM rhs negated,
+            THCM.C:1000-1035)."""
+            Al = _lin(par, fields, cpl)
+            An = assembly.nlin(Al, x, par, grid, landm, cfg.periodic,
+                               jac=False)
+            An = assembly.boundaries(An, landm, grid)
+            Au = apply_stencil(An, x, periodic=cfg.periodic)
+            Frc = _frc(par, fields, cpl)
+            B = -Au + Frc
+            B = B * interior          # landmask rhs (usrc.F90:563-574)
+            F = -B
+            if cfg.sres == 0:
+                intval = jnp.vdot(int_coeff, x)
+                F = F.at[ir].set(cfg.int_sign * (intval - int_correction))
+            return F
+
+        def _jac(x, par, fields, cpl):
+            Al = _lin(par, fields, cpl)
+            An = assembly.nlin(Al, x, par, grid, landm, cfg.periodic,
+                               jac=True)
+            return assembly.boundaries(An, landm, grid)
+
+        def _apply(An, v):
+            """Jacobian action including the integral-condition row
+            replacement (THCM::intcond_S, THCM.C:2121-2196)."""
+            y = apply_stencil(An, v, periodic=cfg.periodic)
+            if cfg.sres == 0:
+                y = y.at[ir].set(cfg.int_sign * jnp.vdot(int_coeff, v))
+            return y
+
+        def _mass(par):
+            B = assembly.fillcolB(par, landm, grid, sres=cfg.sres)
+            if cfg.sres == 0:
+                B = B.at[ir].set(0.0)
+            return B
+
+        self._rhs_fn = jax.jit(_rhs)
+        self._jac_fn = jax.jit(_jac)
+        self._apply_fn = jax.jit(_apply)
+        self._mass_fn = jax.jit(_mass)
+        self._apply_impl = _apply
+
+        tol = self.solver_params.get("FGMRES tolerance")
+        maxiter = self.solver_params.get("FGMRES iterations")
+
+        def _solve(An, b, tol):
+            flat_b = b.reshape(-1)
+
+            def mv(v):
+                return self._apply_impl(An, v.reshape(b.shape)).reshape(-1)
+
+            res = _fgmres_flat(mv, lambda v: v, flat_b,
+                               jnp.zeros_like(flat_b),
+                               jnp.asarray(tol, flat_b.dtype), maxiter)
+            return res.x.reshape(b.shape), res.iters, res.relres
+
+        self._solve_fn = jax.jit(_solve)
+
+    # ------------------------------------------------------------------
+    # Model contract
+    # ------------------------------------------------------------------
+    def compute_rhs(self) -> None:
+        with log.timer("Ocean: compute rhs"):
+            self.rhs = self._rhs_fn(self.state, self.par, self.fields,
+                                    self.cpl, self.int_correction)
+
+    def compute_jacobian(self) -> None:
+        with log.timer("Ocean: compute jacobian"):
+            self.jac = self._jac_fn(self.state, self.par, self.fields,
+                                    self.cpl)
+
+    def compute_mass_matrix(self) -> None:
+        # note: Fortran fills -Ro/-1; the actual B used by the theta
+        # stepper is this diagonal (see ThetaModel)
+        self.diagB = self._mass_fn(self.par)
+
+    def apply_matrix(self, v):
+        return self._apply_fn(self.jac, v)
+
+    def apply_mass_matrix(self, v):
+        if self.diagB is None:
+            self.compute_mass_matrix()
+        return self.diagB * v
+
+    def solve(self, b):
+        """Solve J x = b; keeps the solution (Ocean.C:1060-1151)."""
+        if self.jac is None:
+            self.compute_jacobian()
+        tol = self.solver_params.get("FGMRES tolerance")
+        with log.timer("Ocean: solve"):
+            x, iters, relres = self._solve_fn(self.jac, b, tol)
+            x.block_until_ready()
+        self.sol = x
+        self.solve_iters = int(iters)
+        self.solve_relres = float(relres)
+        log.track_iterations("Ocean: FGMRES iterations", self.solve_iters)
+        log.INFO(f"Ocean: FGMRES solve: {self.solve_iters} iters, "
+                 f"relres={self.solve_relres:.2e}")
+        return x
+
+    # -- state access (reference Model.H getState/getRHS/getSolution) --
+    def get_state(self, mode: str = 'C'):
+        return self.state
+
+    def set_state(self, x) -> None:
+        self.state = x
+
+    def get_rhs(self, mode: str = 'C'):
+        return self.rhs
+
+    def get_solution(self, mode: str = 'C'):
+        return self.sol
+
+    # -- parameters ----------------------------------------------------
+    def set_par(self, name: str, value: float) -> None:
+        idx = c.PAR_NAMES.get(name)
+        if idx is None:
+            log.WARNING(f"Ocean: unknown parameter '{name}'")
+            return
+        self.par = self.par.at[idx].set(value)
+
+    def get_par(self, name: str) -> float:
+        idx = c.PAR_NAMES.get(name)
+        if idx is None:
+            log.WARNING(f"Ocean: unknown parameter '{name}'")
+            return 0.0
+        return float(self.par[idx])
+
+    # -- hooks ---------------------------------------------------------
+    def pre_process(self) -> None:
+        pass
+
+    def post_process(self) -> None:
+        pass
+
+    def monitor(self) -> bool:
+        return False
+
+    def write_data(self, describe: bool = False) -> str:
+        from .diagnostics import psi_min_max
+        if describe:
+            return f"{'MV':>8}{'max(psi)':>14}{'min(psi)':>14}"
+        mv = getattr(self, 'solve_iters', 0)
+        pmax, pmin = psi_min_max(self.state, self.grid, self.landm)
+        return f"{mv:>8d}{pmax:>14.5e}{pmin:>14.5e}"
+
+    # -- flat-vector helpers (for tests / IO) -------------------------
+    def to_flat(self, x=None):
+        return to_flat(self.state if x is None else x)
+
+    def from_flat(self, v):
+        return from_flat(v, self.grid.l, self.grid.m, self.grid.n)

@@ -1,0 +1,156 @@
+"""Flexible GMRES, jit-compatible, over arbitrary pytrees.
+
+TPU-native replacement for the reference's Belos flexible-GMRES solve
+(reference src/ocean/Ocean.C:961-1022 ``initializeBelos``/``solve``):
+right-preconditioned FGMRES with modified Gram-Schmidt Arnoldi and
+Givens rotations, implemented with ``lax.while_loop`` so the whole
+Newton-Krylov stack stays inside one XLA computation.
+
+The Krylov basis lives in a preallocated (maxiter+1, N) array; each
+iteration is one matvec + one preconditioner application + reductions,
+exactly the structure XLA pipelines well on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+
+class FGMRESResult(NamedTuple):
+    x: jax.Array          # flat solution
+    iters: jax.Array      # iterations performed
+    relres: jax.Array     # final implicit relative residual
+    converged: jax.Array
+
+
+def _identity(v):
+    return v
+
+
+@partial(jax.jit, static_argnames=("matvec", "prec", "maxiter"))
+def _fgmres_flat(matvec: Callable, prec: Callable,
+                 b: jax.Array, x0: jax.Array,
+                 tol: jax.Array, maxiter: int) -> FGMRESResult:
+    N = b.shape[0]
+    dtype = b.dtype
+
+    r0 = b - matvec(x0)
+    beta = jnp.linalg.norm(r0)
+    bnorm = jnp.linalg.norm(b)
+    target = tol * jnp.where(bnorm > 0.0, bnorm, 1.0)
+
+    V = jnp.zeros((maxiter + 1, N), dtype)
+    Z = jnp.zeros((maxiter, N), dtype)
+    H = jnp.zeros((maxiter + 1, maxiter), dtype)
+    cs = jnp.zeros(maxiter, dtype)
+    sn = jnp.zeros(maxiter, dtype)
+    g = jnp.zeros(maxiter + 1, dtype)
+
+    V = V.at[0].set(jnp.where(beta > 0.0, r0 / beta, r0))
+    g = g.at[0].set(beta)
+
+    def cond(state):
+        j, V, Z, H, cs, sn, g, res = state
+        return (j < maxiter) & (res > target)
+
+    def body(state):
+        j, V, Z, H, cs, sn, g, res = state
+        z = prec(V[j])
+        w = matvec(z)
+        Z = Z.at[j].set(z)
+
+        # modified Gram-Schmidt against all basis vectors (masked)
+        def mgs(i, carry):
+            w, H = carry
+            keep = i <= j
+            h = jnp.where(keep, jnp.dot(V[i], w), 0.0)
+            w = w - h * V[i]
+            H = H.at[i, j].set(h)
+            return w, H
+
+        w, H = lax.fori_loop(0, maxiter, mgs, (w, H))
+        hj1 = jnp.linalg.norm(w)
+        H = H.at[j + 1, j].set(hj1)
+        V = V.at[j + 1].set(jnp.where(hj1 > 0.0, w / hj1, w))
+
+        # apply previous Givens rotations to column j
+        def rot(i, Hcol):
+            keep = i < j
+            hi = jnp.where(keep, cs[i] * Hcol[i] + sn[i] * Hcol[i + 1],
+                           Hcol[i])
+            hi1 = jnp.where(keep, -sn[i] * Hcol[i] + cs[i] * Hcol[i + 1],
+                            Hcol[i + 1])
+            Hcol = Hcol.at[i].set(hi)
+            Hcol = Hcol.at[i + 1].set(hi1)
+            return Hcol
+
+        Hcol = lax.fori_loop(0, maxiter, rot, H[:, j])
+
+        # new rotation annihilating H[j+1, j]
+        denom = jnp.sqrt(Hcol[j] ** 2 + Hcol[j + 1] ** 2)
+        c = jnp.where(denom > 0.0, Hcol[j] / denom, 1.0)
+        s = jnp.where(denom > 0.0, Hcol[j + 1] / denom, 0.0)
+        cs = cs.at[j].set(c)
+        sn = sn.at[j].set(s)
+        Hcol = Hcol.at[j].set(c * Hcol[j] + s * Hcol[j + 1])
+        Hcol = Hcol.at[j + 1].set(0.0)
+        H = H.at[:, j].set(Hcol)
+
+        gj1 = -s * g[j]
+        g = g.at[j + 1].set(gj1)
+        g = g.at[j].set(c * g[j])
+
+        return j + 1, V, Z, H, cs, sn, g, jnp.abs(gj1)
+
+    j, V, Z, H, cs, sn, g, res = lax.while_loop(
+        cond, body, (0, V, Z, H, cs, sn, g, beta))
+
+    # back substitution on the (masked) upper-triangular system
+    def backsub(i_rev, y):
+        i = maxiter - 1 - i_rev
+        active = i < j
+        rhs = g[i] - jnp.dot(H[i], y)
+        hii = H[i, i]
+        yi = jnp.where(active, rhs / jnp.where(hii != 0.0, hii, 1.0), 0.0)
+        return y.at[i].set(yi)
+
+    y = lax.fori_loop(0, maxiter, backsub, jnp.zeros(maxiter, dtype))
+    x = x0 + Z.T @ y
+
+    return FGMRESResult(x=x, iters=j, relres=res / jnp.maximum(bnorm, 1e-300),
+                        converged=res <= target)
+
+
+def fgmres(matvec: Callable, b, x0=None, *, prec: Callable | None = None,
+           tol: float = 1e-8, maxiter: int = 100):
+    """Solve A x = b with right-preconditioned FGMRES.
+
+    matvec/prec act on pytrees shaped like b; internally everything is
+    flattened once.  Returns (x_pytree, FGMRESResult).
+    """
+    b_flat, unravel = ravel_pytree(b)
+    if x0 is None:
+        x0_flat = jnp.zeros_like(b_flat)
+    else:
+        x0_flat, _ = ravel_pytree(x0)
+
+    def mv_flat(v):
+        out, _ = ravel_pytree(matvec(unravel(v)))
+        return out
+
+    if prec is None:
+        pc_flat = _identity
+    else:
+        def pc_flat(v):
+            out, _ = ravel_pytree(prec(unravel(v)))
+            return out
+
+    res = _fgmres_flat(mv_flat, pc_flat, b_flat, x0_flat,
+                       jnp.asarray(tol, b_flat.dtype), maxiter)
+    return unravel(res.x), res

@@ -1,0 +1,15 @@
+import os
+
+# Tests run on CPU with a virtual 8-device mesh for sharding tests;
+# f64 everywhere.  Force these (the ambient environment pins
+# JAX_PLATFORMS to the axon TPU tunnel, which would remote-compile
+# every tiny test kernel).
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=8 "
+                           + os.environ.get("XLA_FLAGS", ""))
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,130 @@
+"""2DMOC continuation integration test.
+
+Mirrors the reference's intt_2dmoc.C (src/tests/intt_2dmoc.C:16-90):
+a small periodic 2D meridional-overturning configuration (Coriolis off,
+idealized forcing, non-restoring salinity with integral condition) is
+continued in Combined Forcing to 1.0, then in the asymmetry parameter
+CMPR, then in Salinity Forcing, using the fixture parameters of
+test/2dmoc/*.xml.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from iemic_tpu.models.ocean import Ocean
+from iemic_tpu.continuation import Continuation
+
+
+def make_2dmoc_ocean(n=3, m=6, l=6):
+    """Configuration of test/2dmoc/ocean_params.xml."""
+    thcm = {
+        "Global Grid-Size n": n,
+        "Global Grid-Size m": m,
+        "Global Grid-Size l": l,
+        "Global Bound xmin": 286.0,
+        "Global Bound xmax": 350.0,
+        "Global Bound ymin": -60.0,
+        "Global Bound ymax": 60.0,
+        "Periodic": True,
+        "Depth hdim": 4000.0,
+        "Grid Stretching qz": 1.0,
+        "Topography": 1,
+        "Flat Bottom": True,
+        "Coriolis Force": 0,
+        "Forcing Type": 1,
+        "Restoring Temperature Profile": 1,
+        "Restoring Salinity Profile": 0,
+        "Levitus T": 1,
+        "Levitus S": 1,
+        "Wind Forcing Type": 2,
+        "Mixing": 1,
+        "Rho Mixing": False,
+        "Taper": 1,
+        "Starting Parameters": {
+            "Combined Forcing": 0.0,
+            "Solar Forcing": 0.0,
+            "Salinity Forcing": 0.0,
+            "Wind Forcing": 0.0,
+            "Temperature Forcing": 10.0,
+            "SPL1": 2e3,
+            "SPL2": 0.01,
+            "P_VC": 0.0,
+            "Rossby-Number": 0.0,
+            "CMPR": 0.0,
+            "Horizontal Ekman-Number": 371.764,
+            "Rayleigh-Number": 15.6869,
+        },
+    }
+    solver = {"FGMRES tolerance": 1e-8, "FGMRES iterations": 400}
+    return Ocean({"THCM": thcm}, solver_params=solver)
+
+
+CONT_PARS = {
+    "continuation parameter": "Combined Forcing",
+    "initial step size": 1.0e-1,
+    "minimum step size": 1.0e-8,
+    "maximum step size": 1.0,
+    "increase step size": 2.0,
+    "decrease step size": 2.0,
+    "destination 0": 1.0,
+    "maximum number of steps": -1,
+    "Newton tolerance": 1.0e-3,
+    "destination tolerance": 1.0e-6,
+    "maximum Newton iterations": 15,
+    "backtracking steps": 5,
+    "corrector residual test": "D",
+    "epsilon increment": 1.0e-6,
+    "state tangent scaling": 1.0,
+    "enable Newton Chord hybrid solve": False,
+    "backtracking increase": 1.0,
+    "tangent type": "S",
+    "predictor bound": 100.0,
+}
+
+
+@pytest.fixture(scope="module")
+def moc_state():
+    """Run the primary Combined Forcing continuation once, share the
+    converged state with the follow-up legs."""
+    ocean = make_2dmoc_ocean()
+    cont = Continuation(ocean, dict(CONT_PARS))
+    result = cont.run()
+    return ocean, result
+
+
+def test_combined_forcing_continuation(moc_state):
+    ocean, result = moc_state
+    assert result.status == 0
+    assert abs(ocean.get_par("Combined Forcing") - 1.0) < 1e-6
+    # converged steady state
+    ocean.compute_rhs()
+    assert float(jnp.linalg.norm(ocean.rhs)) < 1e-2
+    # a nontrivial overturning circulation has developed
+    from iemic_tpu.models.ocean.diagnostics import psi_min_max
+    pmax, pmin = psi_min_max(ocean.state, ocean.grid, ocean.landm)
+    assert pmax > 1e-6 or abs(pmin) > 1e-6
+
+
+def test_cmpr_continuation(moc_state):
+    """Asymmetry-parameter leg (intt_2dmoc.C:42-52)."""
+    ocean, _ = moc_state
+    pars = dict(CONT_PARS)
+    pars["continuation parameter"] = "CMPR"
+    pars["destination 0"] = -0.2
+    pars["initial step size"] = -0.5
+    cont = Continuation(ocean, pars)
+    assert cont.run().status == 0
+    assert abs(ocean.get_par("CMPR") + 0.2) < 1e-6
+
+
+def test_salinity_forcing_continuation(moc_state):
+    """Salinity-forcing leg (intt_2dmoc.C:54-64)."""
+    ocean, _ = moc_state
+    pars = dict(CONT_PARS)
+    pars["continuation parameter"] = "Salinity Forcing"
+    pars["destination 0"] = 0.02
+    pars["initial step size"] = 0.5
+    cont = Continuation(ocean, pars)
+    assert cont.run().status == 0
+    assert abs(ocean.get_par("Salinity Forcing") - 0.02) < 1e-6
