@@ -115,7 +115,7 @@ def default_solver_params() -> ParameterList:
     p.set("FGMRES restarts", 0)
     p.set("FGMRES output", 10)
     p.set("FGMRES explicit residual test", False)
-    p.set("Preconditioning", "None")
+    p.set("Preconditioning", "Columns")
     return p
 
 
@@ -351,19 +351,60 @@ class Ocean:
 
         tol = self.solver_params.get("FGMRES tolerance")
         maxiter = self.solver_params.get("FGMRES iterations")
+        prec_type = self.solver_params.get("Preconditioning")
+        self._deflator = None
 
-        def _solve(An, b, tol):
+        from ...solvers.preconditioner import (build_column_blocks,
+                                               apply_column_prec)
+
+        def _solve(An, b, tol, nullq):
             flat_b = b.reshape(-1)
 
             def mv(v):
                 return self._apply_impl(An, v.reshape(b.shape)).reshape(-1)
 
-            res = _fgmres_flat(mv, lambda v: v, flat_b,
-                               jnp.zeros_like(flat_b),
+            if prec_type == "Columns":
+                Binv = build_column_blocks(An)
+
+                def pc(v):
+                    z = apply_column_prec(Binv,
+                                          v.reshape(b.shape)).reshape(-1)
+                    if nullq is not None:
+                        z = z - nullq @ (nullq.T @ z)
+                    return z
+            else:
+                def pc(v):
+                    return v
+
+            res = _fgmres_flat(mv, pc, flat_b, jnp.zeros_like(flat_b),
                                jnp.asarray(tol, flat_b.dtype), maxiter)
             return res.x.reshape(b.shape), res.iters, res.relres
 
-        self._solve_fn = jax.jit(_solve)
+        self._solve_fn = jax.jit(_solve, static_argnames=())
+
+    def _get_deflator(self):
+        """Orthonormal basis of validated pressure null modes
+        (deflation replaces the reference's pressure-point fixes /
+        pressureProjection, Ocean.H:413, THCM.C:2846-2888)."""
+        if self._deflator is not None:
+            return self._deflator if self._deflator is not False else None
+        from ...solvers.preconditioner import pressure_null_vectors
+        cands = pressure_null_vectors(self.landm, self.cfg.l, self.cfg.m,
+                                      self.cfg.n)
+        valid = []
+        scale = float(jnp.max(jnp.abs(self.jac)))
+        for z in cands:
+            zj = jnp.asarray(z)
+            rz = float(jnp.max(jnp.abs(
+                self._apply_fn(self.jac, zj))))
+            if rz < 1e-10 * max(scale, 1.0):
+                valid.append(np.asarray(z).reshape(-1))
+        if not valid:
+            self._deflator = False
+            return None
+        q, _ = np.linalg.qr(np.stack(valid, axis=1))
+        self._deflator = jnp.asarray(q)
+        return self._deflator
 
     # ------------------------------------------------------------------
     # Model contract
@@ -383,6 +424,14 @@ class Ocean:
         # stepper is this diagonal (see ThetaModel)
         self.diagB = self._mass_fn(self.par)
 
+    def add_mass_to_jacobian(self, scale: float) -> None:
+        """J += scale * diag(B) on the center block diagonal; used by
+        the theta stepper (reference ThetaModel.H:118-146)."""
+        An = self.jac
+        for a in range(6):
+            An = An.at[4, a, a].add(scale * self.diagB[a])
+        self.jac = An
+
     def apply_matrix(self, v):
         return self._apply_fn(self.jac, v)
 
@@ -396,8 +445,9 @@ class Ocean:
         if self.jac is None:
             self.compute_jacobian()
         tol = self.solver_params.get("FGMRES tolerance")
+        nullq = self._get_deflator()
         with log.timer("Ocean: solve"):
-            x, iters, relres = self._solve_fn(self.jac, b, tol)
+            x, iters, relres = self._solve_fn(self.jac, b, tol, nullq)
             x.block_until_ready()
         self.sol = x
         self.solve_iters = int(iters)
