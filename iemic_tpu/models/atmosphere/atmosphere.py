@@ -220,9 +220,10 @@ class Atmosphere:
             * np.exp(c2 * self.t0i / (self.t0i + c3))
         self.lvscale = self.rhoo * self.lv / self.muoa
 
-        # ocean-provided coefficients (reference getdeps / atm.F90)
-        self.Ooa = g("Ooa")
-        self.Os = g("Os")
+        # ocean-provided coefficients (reference getdeps / atm.F90);
+        # dynamic: updated by synchronize() in coupled runs
+        self.Ooa = float(g("Ooa"))
+        self.Os = float(g("Os"))
 
         # continuation parameter vector
         self.par = jnp.asarray([g(name) for name in PAR_ORDER])
@@ -267,9 +268,9 @@ class Atmosphere:
 
     # ------------------------------------------------------------------
     def _update_sun(self):
-        m = self.m
         leg = 1.0 - 0.482 * (3 * np.sin(self.yc) ** 2 - 1.0) / 2.0
-        self.suna = self.As * leg     # index j (0..m)
+        self.leg = leg                # latitudinal profile, index j (0..m)
+        self.suna = self.As * leg
         self.suno = self.Os * leg
 
     # -- state helpers -------------------------------------------------
@@ -292,8 +293,8 @@ class Atmosphere:
         ocean_srf = jnp.asarray((self.surfmask == 0).astype(np.float64))
         land_srf = 1.0 - ocean_srf
         yc = self.yc
-        suna_j = jnp.asarray(self.suna[1:m + 1])[:, None]
-        suno_j = jnp.asarray(self.suno[1:m + 1])[:, None]
+        leg_j = jnp.asarray(self.leg[1:m + 1])[:, None]
+        suna_j = self.As * leg_j
         pdist = jnp.asarray(self.pdist)
         ic_coeff = jnp.asarray(self.ic_coeff)
         p_coeff = jnp.asarray(self.p_coeff)
@@ -344,19 +345,19 @@ class Atmosphere:
         def H(x, eps):
             return 0.5 * (1.0 + jnp.tanh(x / eps))
 
-        def Tl(A, Ta, comb, sunp):
-            return Ta + comb * sunp * suno_j \
-                * ((1 - self.a0) - self.da * A) / self.Ooa
+        def Tl(A, Ta, comb, sunp, Ooa, Os):
+            return Ta + comb * sunp * (Os * leg_j) \
+                * ((1 - self.a0) - self.da * A) / Ooa
 
-        def aF(A, Ta, P, comb, sunp):
+        def aF(A, Ta, P, comb, sunp, Ooa, Os):
             dimP = 3600.0 * 24.0 * 365.0 * pdist \
                 * (self.Po0 + self.eta * self.qdim * P)
-            tl = Tl(A, Ta, comb, sunp)
+            tl = Tl(A, Ta, comb, sunp, Ooa, Os)
             return (H(self.Tm - tl, self.epm)
                     * H(self.Tr - tl, self.epr)
                     * H(dimP - self.Pa, self.epa))
 
-        def jac_fn(x, par, sst, sit, msi):
+        def jac_fn(x, par, sst, sit, msi, Ooa, Os):
             """Dependency assembly (computeJacobian,
             AtmosLocal.C:585-780) with exact autodiff in place of the
             reference's FD for the albedo derivatives."""
@@ -376,7 +377,7 @@ class Atmosphere:
             st = st.at[4, TT, TT].add(-tc - self.bmua)
             # TT,AA diag
             dTadA = -comb * sunp * suna_j * self.da
-            dTldA = -comb * sunp * suno_j * self.da / self.Ooa
+            dTldA = -comb * sunp * (Os * leg_j) * self.da / Ooa
             st = st.at[4, TT, AA].set(land_srf * (dTldA + dTadA)
                                       + ocean_srf * dTadA)
             # QQ,QQ: Phv*(qxx+qyy) - nuq*qc
@@ -386,11 +387,11 @@ class Atmosphere:
             # albedo equation derivatives (exact autodiff; the
             # reference uses forward differences, AtmosLocal.H:460-470)
             daFdA = jax.grad(
-                lambda A_: jnp.sum(aF(A_, Ta, P, comb, sunp)))(A)
+                lambda A_: jnp.sum(aF(A_, Ta, P, comb, sunp, Ooa, Os)))(A)
             daFdT = jax.grad(
-                lambda T_: jnp.sum(aF(A, T_, P, comb, sunp)))(Ta)
+                lambda T_: jnp.sum(aF(A, T_, P, comb, sunp, Ooa, Os)))(Ta)
             daFdP = jax.jacfwd(
-                lambda P_: aF(A, Ta, P_, comb, sunp))(P)
+                lambda P_: aF(A, Ta, P_, comb, sunp, Ooa, Os))(P)
             dAdA = land_srf * (comb * albf * daFdA - 1.0) / self.tauf \
                 + ocean_srf * (-1.0 / self.tauc)
             dAdT = land_srf * comb * albf * daFdT / self.tauf
@@ -436,7 +437,7 @@ class Atmosphere:
                 yP = jnp.asarray(0.0)
             return self.join(y, yP)
 
-        def forcing_fn(x, par, sst, sit, msi):
+        def forcing_fn(x, par, sst, sit, msi, Ooa, Os):
             """(AtmosLocal.C:871-985 forcing)"""
             comb, sunp, lonf = par[P_COMB], par[P_SUNP], par[P_LONF]
             latf, albf = par[P_LATF], par[P_ALBF]
@@ -447,7 +448,7 @@ class Atmosphere:
 
             QSW = suna_j * (1 - self.a0)
             # temperature forcing
-            f_land = comb * sunp * suno_j * (1 - self.a0) / self.Ooa \
+            f_land = comb * sunp * (Os * leg_j) * (1 - self.a0) / Ooa \
                 + comb * (sunp * QSW - lonf * self.amua)
             Ts = sst + msi * (sit - sst + self.t0i - self.t0o)
             f_ocean = Ts + comb * (sunp * QSW - lonf * self.amua) \
@@ -460,7 +461,7 @@ class Atmosphere:
             fq = ocean_srf * nuq * (Eo + msi * (Ei - Eo + self.Cs))
 
             # albedo forcing (full nonlinear equation)
-            af = aF(A, Ta, P, comb, sunp)
+            af = aF(A, Ta, P, comb, sunp, Ooa, Os)
             fA = land_srf * (comb * albf * af - A) / self.tauf \
                 + ocean_srf * (comb * albf * msi - A) / self.tauc
 
@@ -469,11 +470,11 @@ class Atmosphere:
                 frc = frc.at[QQ, m - 1, n - 1].set(0.0)
             return frc
 
-        def rhs_fn(x, par, sst, sit, msi):
+        def rhs_fn(x, par, sst, sit, msi, Ooa, Os):
             """(AtmosLocal.C:782-860 computeRHS +
             Atmosphere.C:266-391 incl. aux row)"""
-            J = jac_fn(x, par, sst, sit, msi)
-            frc = forcing_fn(x, par, sst, sit, msi)
+            J = jac_fn(x, par, sst, sit, msi, Ooa, Os)
+            frc = forcing_fn(x, par, sst, sit, msi, Ooa, Os)
             y = matvec(J, x)
             yf, yP = self.split(y)
             fields, P = self.split(x)
@@ -545,11 +546,11 @@ class Atmosphere:
     # ------------------------------------------------------------------
     def compute_rhs(self):
         self.rhs = self._rhs_fn(self.state, self.par, self.sst,
-                                self.sit, self.msi)
+                                self.sit, self.msi, self.Ooa, self.Os)
 
     def compute_jacobian(self):
         self.jac = self._jac_fn(self.state, self.par, self.sst,
-                                self.sit, self.msi)
+                                self.sit, self.msi, self.Ooa, self.Os)
 
     def compute_mass_matrix(self):
         self.diagB = self._mass_fn()
@@ -588,6 +589,13 @@ class Atmosphere:
 
     def set_seaice_mask(self, msi):
         self.msi = jnp.asarray(msi)
+
+    def set_ocean_deps(self, Ooa: float, Os: float):
+        """Coefficients computed by the ocean's atmos_coef
+        (reference getdeps, usrc.F90:201-219)."""
+        self.Ooa = float(Ooa)
+        self.Os = float(Os)
+        self._update_sun()
 
     def get_evaporation(self):
         return self._evap_fn(self.state, self.sst, self.sit, self.msi)

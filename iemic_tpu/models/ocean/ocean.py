@@ -306,22 +306,34 @@ class Ocean:
 
         int_coeff = self.int_coeff
 
-        def _rhs(x, par, fields, cpl, int_correction):
-            """Ocean-convention residual F(x)  (THCM rhs negated,
-            THCM.C:1000-1035)."""
-            Al = _lin(par, fields, cpl)
-            An = assembly.nlin(Al, x, par, grid, landm, cfg.periodic,
-                               jac=False)
-            An = assembly.boundaries(An, landm, grid)
+        def _nl(x, par):
+            """Additive nonlinear (advective/EOS) tensor, independent
+            of the coupling fields — cacheable for cheap coupling-block
+            derivatives."""
+            zero = jnp.zeros((27, 6, 6, cfg.l, cfg.m, cfg.n))
+            return assembly.nlin(zero, x, par, grid, landm,
+                                 cfg.periodic, jac=False)
+
+        def _an_rhs(Nl, par, fields, cpl):
+            return assembly.boundaries(_lin(par, fields, cpl) + Nl,
+                                       landm, grid)
+
+        def _rhs_from_parts(An, x, par, fields, cpl, int_correction):
             Au = apply_stencil(An, x, periodic=cfg.periodic)
             Frc = _frc(par, fields, cpl)
-            B = -Au + Frc
-            B = B * interior          # landmask rhs (usrc.F90:563-574)
+            B = (-Au + Frc) * interior   # landmask rhs (usrc.F90:563)
             F = -B
             if cfg.sres == 0:
                 intval = jnp.vdot(int_coeff, x)
                 F = F.at[ir].set(cfg.int_sign * (intval - int_correction))
             return F
+
+        def _rhs(x, par, fields, cpl, int_correction):
+            """Ocean-convention residual F(x)  (THCM rhs negated,
+            THCM.C:1000-1035)."""
+            An = _an_rhs(_nl(x, par), par, fields, cpl)
+            return _rhs_from_parts(An, x, par, fields, cpl,
+                                   int_correction)
 
         def _jac(x, par, fields, cpl):
             Al = _lin(par, fields, cpl)
@@ -344,6 +356,9 @@ class Ocean:
             return B
 
         self._rhs_fn = jax.jit(_rhs)
+        self._nl_fn = jax.jit(_nl)
+        self._an_rhs_fn = jax.jit(_an_rhs)
+        self._rhs_from_parts_fn = jax.jit(_rhs_from_parts)
         self._jac_fn = jax.jit(_jac)
         self._apply_fn = jax.jit(_apply)
         self._mass_fn = jax.jit(_mass)

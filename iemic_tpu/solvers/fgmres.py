@@ -127,6 +127,74 @@ def _fgmres_flat(matvec: Callable, prec: Callable,
                         converged=res <= target)
 
 
+def fgmres_host(matvec: Callable, b, *, prec: Callable | None = None,
+                tol: float = 1e-8, maxiter: int = 100):
+    """Host-driven FGMRES for operators that are not jit-pure (e.g. the
+    coupled model, whose matvec/preconditioner orchestrate several
+    models like the reference's Belos-on-BelosOp setup,
+    CoupledModel.C:274-352).  Each matvec/prec call may internally run
+    jitted code."""
+    import numpy as np
+
+    b = np.asarray(b).reshape(-1)
+    N = b.shape[0]
+    bnorm = np.linalg.norm(b)
+    target = tol * (bnorm if bnorm > 0 else 1.0)
+
+    if prec is None:
+        prec = lambda v: v  # noqa: E731
+
+    x = np.zeros(N)
+    r0 = b
+    beta = np.linalg.norm(r0)
+    if beta <= target:
+        return jnp.asarray(x), FGMRESResult(
+            x=jnp.asarray(x), iters=jnp.asarray(0),
+            relres=jnp.asarray(0.0), converged=jnp.asarray(True))
+
+    V = np.zeros((maxiter + 1, N))
+    Z = np.zeros((maxiter, N))
+    H = np.zeros((maxiter + 1, maxiter))
+    cs = np.zeros(maxiter)
+    sn = np.zeros(maxiter)
+    g = np.zeros(maxiter + 1)
+    V[0] = r0 / beta
+    g[0] = beta
+    res = beta
+    j = 0
+    while j < maxiter and res > target:
+        z = np.asarray(prec(jnp.asarray(V[j]))).reshape(-1)
+        w = np.asarray(matvec(jnp.asarray(z))).reshape(-1)
+        Z[j] = z
+        for i in range(j + 1):
+            H[i, j] = V[i] @ w
+            w = w - H[i, j] * V[i]
+        H[j + 1, j] = np.linalg.norm(w)
+        if H[j + 1, j] > 0:
+            V[j + 1] = w / H[j + 1, j]
+        for i in range(j):
+            hi = cs[i] * H[i, j] + sn[i] * H[i + 1, j]
+            H[i + 1, j] = -sn[i] * H[i, j] + cs[i] * H[i + 1, j]
+            H[i, j] = hi
+        denom = np.hypot(H[j, j], H[j + 1, j])
+        c, s = (1.0, 0.0) if denom == 0 else (H[j, j] / denom,
+                                              H[j + 1, j] / denom)
+        cs[j], sn[j] = c, s
+        H[j, j] = c * H[j, j] + s * H[j + 1, j]
+        H[j + 1, j] = 0.0
+        g[j + 1] = -s * g[j]
+        g[j] = c * g[j]
+        res = abs(g[j + 1])
+        j += 1
+
+    y = np.linalg.solve(H[:j, :j], g[:j]) if j else np.zeros(0)
+    x = Z[:j].T @ y
+    return jnp.asarray(x), FGMRESResult(
+        x=jnp.asarray(x), iters=jnp.asarray(j),
+        relres=jnp.asarray(res / max(bnorm, 1e-300)),
+        converged=jnp.asarray(res <= target))
+
+
 def fgmres(matvec: Callable, b, x0=None, *, prec: Callable | None = None,
            tol: float = 1e-8, maxiter: int = 100):
     """Solve A x = b with right-preconditioned FGMRES.

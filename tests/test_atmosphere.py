@@ -36,7 +36,8 @@ def _fd_check(atm, seed=0, eps=1e-7, tol=5e-5):
     atm.compute_jacobian()
 
     def F(xx):
-        return atm._rhs_fn(xx, atm.par, atm.sst, atm.sit, atm.msi)
+        return atm._rhs_fn(xx, atm.par, atm.sst, atm.sit, atm.msi,
+                           atm.Ooa, atm.Os)
 
     for _ in range(3):
         v = jnp.asarray(rng.standard_normal(atm.dim))

@@ -1,0 +1,192 @@
+"""Coupled-model tests.
+
+Mirrors the reference's test_coupled.C strategy (src/tests/
+test_coupled.C: analytic vs numerical Jacobian of the full coupled
+system via testEntries, applyMatrix consistency, synchronization,
+coupled solve) and test_oceanatmos.C (2-model coupling).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from iemic_tpu.models.ocean import Ocean
+from iemic_tpu.models.atmosphere import Atmosphere
+from iemic_tpu.models.seaice import SeaIce
+from iemic_tpu.models.coupled import CoupledModel
+
+N, M, L = 6, 6, 4
+BOUNDS = {"Global Bound xmin": 286.0, "Global Bound xmax": 350.0,
+          "Global Bound ymin": 10.0, "Global Bound ymax": 74.0}
+
+
+def make_coupled(use_seaice=True, comb=0.3):
+    ocean = Ocean({"THCM": {
+        "Global Grid-Size n": N, "Global Grid-Size m": M,
+        "Global Grid-Size l": L, **BOUNDS,
+        "Coupled Temperature": 1, "Coupled Salinity": 1,
+        "Restoring Salinity Profile": 0,
+        "Starting Parameters": {"Combined Forcing": comb,
+                                "Salinity Forcing": 0.1,
+                                "Solar Forcing": 0.5,
+                                "Wind Forcing": 1.0,
+                                "Temperature Forcing": 1.0},
+    }})
+    atmos = Atmosphere({"Global Grid-Size n": N, "Global Grid-Size m": M,
+                        **BOUNDS, "Combined Forcing": comb})
+    seaice = SeaIce({"Global Grid-Size n": N, "Global Grid-Size m": M,
+                     **BOUNDS, "Combined Forcing": comb}) \
+        if use_seaice else None
+    cpld = CoupledModel(ocean, atmos, seaice,
+                        params={"Use sea ice": use_seaice},
+                        solver_params={"FGMRES tolerance": 1e-10,
+                                       "FGMRES iterations": 300})
+    return cpld
+
+
+def _project_ocean(xo, ocean):
+    """Dirichlet velocity rows (see tests/test_ocean_core.py)."""
+    m, n = ocean.grid.m, ocean.grid.n
+    xo = xo.at[0:2, :, m - 1, :].set(0.0)
+    if not ocean.grid.periodic:
+        xo = xo.at[0:2, :, :, n - 1].set(0.0)
+    return xo
+
+
+def _random_state(cpld, seed=0, scale=0.05):
+    rng = np.random.default_rng(seed)
+    parts = []
+    for mdl, shape in zip(cpld.models, cpld._shapes):
+        z = jnp.asarray(scale * rng.standard_normal(shape))
+        if type(mdl).__name__ == "Ocean":
+            z = _project_ocean(z, mdl)
+        parts.append(z)
+    return cpld.join(parts)
+
+
+def _coupled_F(cpld, x):
+    cpld.set_state(x)
+    cpld.compute_rhs()
+    return cpld.get_rhs()
+
+
+@pytest.mark.parametrize("use_seaice", [False, True])
+def test_fd_coupled_jacobian(use_seaice):
+    """Full coupled Jacobian (incl. autodiff coupling blocks) vs FD of
+    the synchronized coupled residual (testEntries pattern,
+    TestDefinitions.H:72-100)."""
+    cpld = make_coupled(use_seaice=use_seaice)
+    x = _random_state(cpld, seed=1)
+    cpld.set_state(x)
+    cpld.compute_jacobian()
+
+    rng = np.random.default_rng(2)
+    eps = 1e-6
+    for t in range(2):
+        parts = []
+        for mdl, shape in zip(cpld.models, cpld._shapes):
+            z = jnp.asarray(rng.standard_normal(shape))
+            if type(mdl).__name__ == "Ocean":
+                z = _project_ocean(z, mdl)
+            parts.append(z)
+        v = cpld.join(parts)
+        cpld.set_state(x)
+        cpld.compute_jacobian()
+        jv = cpld.apply_matrix(v)
+        fp = _coupled_F(cpld, x + eps * v)
+        fm = _coupled_F(cpld, x - eps * v)
+        fd = (fp - fm) / (2 * eps)
+        err = float(jnp.linalg.norm(jv - fd)
+                    / (1 + jnp.linalg.norm(jv)))
+        assert err < 5e-5, f"coupled FD mismatch {err}"
+
+
+def test_coupling_blocks_nonzero():
+    """Off-diagonal coupling must actually do something."""
+    cpld = make_coupled(use_seaice=True)
+    x = _random_state(cpld, seed=3)
+    cpld.set_state(x)
+    cpld.compute_jacobian()
+    parts = cpld.split(x)
+    # atmosphere temperature perturbation must reach the ocean rows
+    va = jnp.zeros_like(parts[1]).at[:].set(1.0)
+    c_oa = cpld.coupling_apply(0, 1, va)
+    assert float(jnp.linalg.norm(c_oa)) > 1e-10
+    # ocean SST perturbation must reach the atmosphere rows
+    vo = jnp.zeros_like(parts[0]).at[4, L - 1].set(1.0)
+    c_ao = cpld.coupling_apply(1, 0, vo)
+    assert float(jnp.linalg.norm(c_ao)) > 1e-10
+
+
+def test_coupled_solve():
+    """Coupled FGMRES with block-GS preconditioning solves J x = b at
+    the uncoupled-forcing base state (the physically relevant regime:
+    the reference's coupled runs always start from spun-up states)."""
+    cpld = make_coupled(use_seaice=True, comb=0.0)
+    x = cpld.get_state() * 0.0
+    cpld.set_state(x)
+    cpld.compute_jacobian()
+    w = _random_state(cpld, seed=6, scale=1.0)
+    b = cpld.apply_matrix(w)    # consistent rhs
+    cpld.fgmres_tol = 1e-7
+    cpld.fgmres_iters = 350
+    sol = cpld.solve(b)
+    r = cpld.apply_matrix(sol) - b
+    relres = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    assert relres < 1e-5, f"coupled solve relres {relres}"
+
+
+def test_coupled_newton():
+    """Newton equilibrates the coupled system at COMB = 0 (mainly the
+    sea-ice background fluxes)."""
+    cpld = make_coupled(use_seaice=True, comb=0.0)
+    cpld.fgmres_tol = 1e-7
+    cpld.fgmres_iters = 350
+    x = cpld.get_state() * 0.0
+    cpld.set_state(x)
+    for it in range(15):
+        cpld.compute_rhs()
+        nrm = float(jnp.linalg.norm(cpld.get_rhs()))
+        if nrm < 1e-8:
+            break
+        cpld.compute_jacobian()
+        dx = cpld.solve(-cpld.get_rhs())
+        cpld.set_state(cpld.get_state() + dx)
+    cpld.compute_rhs()
+    assert float(jnp.linalg.norm(cpld.get_rhs())) < 1e-6
+
+
+@pytest.mark.skipif(os.environ.get("IEMIC_SLOW") != "1",
+                    reason="slow coupled continuation; set IEMIC_SLOW=1")
+def test_coupled_continuation():
+    """Short Combined Forcing continuation leg activating the coupling
+    (intt_coupled.C pattern)."""
+    from iemic_tpu.continuation import Continuation
+    cpld = make_coupled(use_seaice=True, comb=0.0)
+    cpld.fgmres_tol = 1e-7
+    cpld.fgmres_iters = 350
+    x = cpld.get_state() * 0.0
+    cpld.set_state(x)
+    for it in range(15):
+        cpld.compute_rhs()
+        if float(jnp.linalg.norm(cpld.get_rhs())) < 1e-8:
+            break
+        cpld.compute_jacobian()
+        cpld.set_state(cpld.get_state() + cpld.solve(-cpld.get_rhs()))
+
+    cont = Continuation(cpld, {
+        "continuation parameter": "Combined Forcing",
+        "initial step size": 5.0e-3,
+        "minimum step size": 1.0e-8,
+        "maximum step size": 2.0e-2,
+        "destination 0": 0.01,
+        "Newton tolerance": 1.0e-4,
+        "destination tolerance": 1.0e-6,
+        "maximum Newton iterations": 10,
+        "predictor bound": 1e4,
+    })
+    result = cont.run()
+    assert result.status == 0
+    assert abs(cpld.get_par("Combined Forcing") - 0.01) < 1e-6
