@@ -603,8 +603,17 @@ class Continuation:
 
     # ------------------------------------------------------------------
     def run_eigen_solver(self):
+        """(Continuation.H:1105-1131: solve + save ev_step_<n>)"""
         if self.eigenvalue_analysis != "N" and self.eigen_solver:
             self.eigen_solver.solve()
+            try:
+                from .utils import hdf5 as h5
+                h5.save_eigenvectors(
+                    f"ev_step_{self.step_}.h5",
+                    self.eigen_solver.alpha, self.eigen_solver.beta,
+                    self.eigen_solver.eigenvectors)
+            except Exception as e:   # saving must not kill the run
+                log.WARNING(f"could not save eigenvectors: {e}")
 
     def info(self):
         log.INFO("-----------------------------------------")

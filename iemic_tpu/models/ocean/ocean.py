@@ -269,6 +269,8 @@ class Ocean:
         self.diagB = None
 
         self._build_jitted()
+        if params.get("Load state"):
+            self.load_state_from_file()
         log.INFO(f"Ocean: initialized {n}x{m}x{l} grid, "
                  f"periodic={periodic}, ndim={self.grid.ndim}")
 
@@ -500,12 +502,50 @@ class Ocean:
             return 0.0
         return float(self.par[idx])
 
+    # -- checkpointing (reference Model.H:149-310) ---------------------
+    def save_state_to_file(self, filename: str | None = None) -> None:
+        from ...utils import hdf5 as h5
+        filename = filename or self.params.get("Output file")
+        g = self.grid
+        grid_meta = dict(
+            n=g.n, m=g.m, l=g.l, nun=6, aux=0,
+            xmin=g.xmin, xmax=g.xmax, ymin=g.ymin, ymax=g.ymax,
+            hdim=g.hdim, x=g.x, y=np.asarray(g.y),
+            z=g.z, xu=g.xu, yv=g.yv, zw=g.zw)
+        pars = {c.INT2PAR[i]: float(self.par[i]) for i in range(c.NPAR)}
+        h5.save_state(filename, np.asarray(self.to_flat()), pars,
+                      grid_meta=grid_meta)
+        log.INFO(f"Ocean: saved state to {filename}")
+
+    def load_state_from_file(self, filename: str | None = None) -> int:
+        from ...utils import hdf5 as h5
+        filename = filename or self.params.get("Input file")
+        state, pars = h5.load_state(filename)
+        if state is None:
+            log.WARNING(f"Can't open {filename}, continue with "
+                        "trivial state")
+            self.state = jnp.zeros_like(self.state)
+            return 1
+        self.state = self.from_flat(jnp.asarray(state))
+        for name, val in pars.items():
+            if name in c.PAR_NAMES:
+                self.set_par(name, val)
+        log.INFO(f"Ocean: loaded state from {filename}")
+        return 0
+
     # -- hooks ---------------------------------------------------------
     def pre_process(self) -> None:
         pass
 
     def post_process(self) -> None:
-        pass
+        """Save converged states (reference Ocean.C:790-828)."""
+        if self.params.get("Save state"):
+            self.save_state_to_file()
+            if self.params.get("Store everything"):
+                self._pp_ctr = getattr(self, "_pp_ctr", 0) + 1
+                self.save_state_to_file(
+                    self.params.get("Output file")
+                    + f".{self._pp_ctr}")
 
     def monitor(self) -> bool:
         return False
