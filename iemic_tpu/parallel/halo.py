@@ -1,0 +1,128 @@
+"""Explicit halo exchange and the shard_map stencil matvec.
+
+The reference surrounds every RHS/Jacobian evaluation with
+Standard->Assembly / Assembly->Solve ghost imports (2-deep overlap,
+reference src/trios/TRIOS_Domain.H:273-290, used at src/ocean/THCM.C:972,999).
+Here the matrix-free stencil matvec needs a 1-deep halo, exchanged
+explicitly with ``lax.ppermute`` inside ``shard_map``:
+
+  * y ('y' mesh axis over latitude): walls — shards at the global edge
+    receive zeros (ppermute leaves non-receivers zero, matching the
+    reference's zero Dirichlet padding).
+  * x ('x' axis over longitude): optional periodic wraparound — the
+    last shard neighbors the first (reference TRIOS_Domain.H:337-340).
+  * corner (diagonal) ghosts come for free from the two-stage exchange:
+    y first, then x over the already-y-padded columns.
+  * z is never partitioned; k ghosts are zero-padded locally
+    (reference TRIOS_Domain.H:63-84).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+
+from ..ops.stencil import offsets
+
+_OFFS = offsets()
+
+
+def halo_pad_shard(xl: jnp.ndarray, *, py: int, px: int,
+                   periodic_x: bool) -> jnp.ndarray:
+    """Pad a local (nun, l, ml, nl) block to (nun, l+2, ml+2, nl+2)
+    with neighbor halos.  Must run inside shard_map over ('y','x')."""
+    # ---- y (j / latitude) ghosts: global walls get zeros -------------
+    if py > 1:
+        lo = lax.ppermute(xl[:, :, -1:, :], "y",
+                          [(r, r + 1) for r in range(py - 1)])
+        hi = lax.ppermute(xl[:, :, :1, :], "y",
+                          [(r, r - 1) for r in range(1, py)])
+    else:
+        lo = jnp.zeros_like(xl[:, :, :1, :])
+        hi = lo
+    xj = jnp.concatenate([lo, xl, hi], axis=2)
+
+    # ---- x (i / longitude) ghosts, including corners ------------------
+    if px > 1:
+        if periodic_x:
+            fwd = [(r, (r + 1) % px) for r in range(px)]
+            bwd = [(r, (r - 1) % px) for r in range(px)]
+        else:
+            fwd = [(r, r + 1) for r in range(px - 1)]
+            bwd = [(r, r - 1) for r in range(1, px)]
+        lo = lax.ppermute(xj[:, :, :, -1:], "x", fwd)
+        hi = lax.ppermute(xj[:, :, :, :1], "x", bwd)
+    elif periodic_x:
+        lo = xj[:, :, :, -1:]
+        hi = xj[:, :, :, :1]
+    else:
+        lo = jnp.zeros_like(xj[:, :, :, :1])
+        hi = lo
+    xij = jnp.concatenate([lo, xj, hi], axis=3)
+
+    # ---- z ghosts: surface/bottom, always zero -------------------------
+    return jnp.pad(xij, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+def make_sharded_stencil_apply(domain):
+    """Jitted (An, x) -> An*x over the domain's mesh via shard_map.
+
+    The SPMD analog of the reference's Epetra CSR SpMV with ghost
+    import (matetc.F90:147-166 + TRIOS importers): each shard exchanges
+    1-deep halos over ICI and contracts its 27 local windows.
+    """
+    py, px, periodic = domain.py, domain.px, domain.periodic
+
+    def local_apply(An_l, x_l):
+        nun, l, ml, nl = x_l.shape
+        xp = halo_pad_shard(x_l, py=py, px=px, periodic_x=periodic)
+        windows = jnp.stack([
+            xp[:, 1 + dk:1 + dk + l, 1 + dj:1 + dj + ml,
+               1 + di:1 + di + nl]
+            for (di, dj, dk) in _OFFS
+        ])
+        return jnp.einsum("pABkji,pBkji->Akji", An_l, windows)
+
+    f = shard_map(local_apply, mesh=domain.mesh,
+                  in_specs=(domain.stencil_spec, domain.state_spec),
+                  out_specs=domain.state_spec)
+    return jax.jit(f)
+
+
+def make_sharded_ops(ocean, domain):
+    """Sharded hot-path operators for an Ocean model.
+
+    Returns a dict with:
+      * ``matvec(An, v)`` — Jacobian action (shard_map halo stencil +
+        the salinity-integral-condition row, THCM.C:2121-2196); the
+        integral dot is a global reduction (psum analog, §2.9 item 4).
+      * ``rhs(x, par, int_correction)`` / ``jac(x, par)`` — the full
+        evaluations jitted under GSPMD with input sharding constraints
+        (XLA inserts the ghost collectives automatically, the analog of
+        the 2-deep Assembly overlap used during assembly).
+    """
+    cfg = ocean.cfg
+    ir = ocean.rowintcon
+    int_coeff = domain.shard_state(ocean.int_coeff)
+    apply_st = make_sharded_stencil_apply(domain)
+
+    def matvec(An, v):
+        y = apply_st(An, v)
+        if cfg.sres == 0:
+            y = y.at[ir].set(cfg.int_sign * jnp.vdot(int_coeff, v))
+        return y
+
+    fields, cpl = ocean.fields, ocean.cpl
+
+    @jax.jit
+    def rhs(x, par, int_correction=0.0):
+        x = domain.constrain_state(x)
+        return ocean._rhs_fn(x, par, fields, cpl, int_correction)
+
+    @jax.jit
+    def jac(x, par):
+        x = domain.constrain_state(x)
+        return ocean._jac_fn(x, par, fields, cpl)
+
+    return {"matvec": jax.jit(matvec), "rhs": rhs, "jac": jac}

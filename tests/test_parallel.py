@@ -1,0 +1,86 @@
+"""1-device vs N-device equivalence of the domain-decomposed operators.
+
+The reference tests its domain decomposition by running the same
+problem at np in {1,2,4,8} and comparing norms to 1e-10
+(reference src/tests/test_domain.C:70-453, src/tests/CMakeLists.txt:77-87).
+Here: the shard_map halo-exchange stencil matvec over an 8-device CPU
+mesh must match the single-device reference implementation to
+round-off.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iemic_tpu.ops.stencil import apply_stencil
+from iemic_tpu.parallel import Domain, decomp2d, make_sharded_stencil_apply
+
+
+def _random_problem(rng, n, m, l, nun=6):
+    An = jnp.asarray(rng.standard_normal((27, nun, nun, l, m, n)))
+    x = jnp.asarray(rng.standard_normal((nun, l, m, n)))
+    return An, x
+
+
+def test_decomp2d():
+    assert decomp2d(8, 16, 16) in [(2, 4), (4, 2)]
+    py, px = decomp2d(8, 8, 2)
+    assert py * px == 8 and 8 % px == 0 and 2 % py == 0
+    with pytest.raises(ValueError):
+        decomp2d(8, 3, 3)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+@pytest.mark.parametrize("shape", [None, (8, 1), (1, 8), (2, 4)])
+def test_sharded_matvec_matches_serial(periodic, shape):
+    rng = np.random.default_rng(42)
+    n, m, l = 8, 8, 3
+    An, x = _random_problem(rng, n, m, l)
+    dom = Domain(n, m, l, periodic=periodic, shape=shape)
+    y_ref = apply_stencil(An, x, periodic=periodic)
+    f = make_sharded_stencil_apply(dom)
+    y = f(dom.shard_stencil(An), dom.shard_state(x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_sharded_ocean_matvec_and_rhs():
+    from iemic_tpu.models.ocean import Ocean
+    from iemic_tpu.parallel import make_sharded_ops
+
+    n, m, l = 8, 8, 4
+    ocean = Ocean({"THCM": {
+        "Global Grid-Size n": n, "Global Grid-Size m": m,
+        "Global Grid-Size l": l, "Periodic": True,
+        "Starting Parameters": {"Combined Forcing": 0.3,
+                                "Temperature Forcing": 10.0,
+                                "Wind Forcing": 1.0},
+    }})
+    dom = Domain(n, m, l, periodic=True)
+    ops = make_sharded_ops(ocean, dom)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(0.01 * rng.standard_normal(ocean.state.shape))
+    v = jnp.asarray(rng.standard_normal(ocean.state.shape))
+
+    F_ref = ocean._rhs_fn(x, ocean.par, ocean.fields, ocean.cpl, 0.0)
+    An = ocean._jac_fn(x, ocean.par, ocean.fields, ocean.cpl)
+    y_ref = ocean._apply_fn(An, v)
+
+    xs, vs = dom.shard_state(x), dom.shard_state(v)
+    F = ops["rhs"](xs, ocean.par)
+    y = ops["matvec"](dom.shard_stencil(An), vs)
+
+    np.testing.assert_allclose(np.asarray(F), np.asarray(F_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_surface_and_gather():
+    dom = Domain(8, 8, 3, shape=(2, 4))
+    f = jnp.arange(64.0).reshape(8, 8)
+    fs = dom.shard_surface(f)
+    np.testing.assert_array_equal(dom.gather(fs), np.asarray(f))
+    assert dom.local_shape == (4, 2)
