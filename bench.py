@@ -50,19 +50,39 @@ def main():
 
     apply_fn = jax.jit(lambda An, v: ocean._apply_impl(An, v))
 
-    # warmup/compile
-    y = apply_fn(An, v)
-    y.block_until_ready()
+    def timeit(f, u0, iters=20):
+        # Two axon-tunnel pitfalls: identical repeated calls are
+        # result-cached, and block_until_ready can return before the
+        # remote queue drains.  So (a) chain the output back into the
+        # input and (b) synchronize by fetching a scalar reduction.
+        u = f(u0)
+        float(jnp.sum(u))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            u = f(u)
+        float(jnp.sum(u))
+        return (time.perf_counter() - t0) / iters
 
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        v = apply_fn(An, v)
-    v.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dt64 = timeit(lambda u: apply_fn(An, u), v)
+
+    # the production hot path: f32 stencil matvec (the Pallas kernel;
+    # all-f64 is software-emulated ~50-100x slower on TPU and only
+    # used in the refinement/final-residual steps)
+    from iemic_tpu.ops.stencil_pallas import apply_stencil_pallas
+    An32 = An.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    periodic = ocean.cfg.periodic
+    try:
+        dt32 = timeit(
+            lambda u: apply_stencil_pallas(An32, u, periodic=periodic),
+            v32)
+    except Exception:
+        # CPU fallback (no Mosaic): XLA f32 path
+        f32 = jax.jit(lambda A, u: ocean._apply_impl(A, u))
+        dt32 = timeit(lambda u: f32(An32, u), v32)
 
     points = n * m * l
-    gps = points / dt
+    gps = points / dt32
 
     result = {
         "metric": "stencil_jacobian_matvec_gridpoints_per_s_per_chip",
@@ -72,7 +92,9 @@ def main():
         "detail": {
             "grid": [n, m, l],
             "dof": points * 6,
-            "matvec_ms": dt * 1e3,
+            "matvec_f32_ms": dt32 * 1e3,
+            "matvec_f64_ms": dt64 * 1e3,
+            "f64_gridpoints_per_s": points / dt64,
             "device": str(jax.devices()[0]),
         },
     }

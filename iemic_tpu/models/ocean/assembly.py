@@ -411,8 +411,12 @@ def boundaries(An: jnp.ndarray, landm: np.ndarray, grid: Grid
     # preconditioner (boundary.F90:169-177)
     tk = msk(t)
     An = An.at[:, WW, :].set(jnp.where(tk, 0.0, An[:, WW, :]))
-    _wk = np.asarray([4, 5, 7, 8])
-    An = An.at[_wk, :, WW].set(jnp.where(tk, 1.0e-10, An[_wk, :, WW]))
+    # per-location updates (dynamic-update-slice) instead of one
+    # gather/scatter with an index array — the scatter form needs
+    # O(|An|) scoped VMEM and fails to compile at production grids
+    for _loc in (4, 5, 7, 8):
+        An = An.at[_loc, :, WW].set(
+            jnp.where(tk, 1.0e-10, An[_loc, :, WW]))
     An = An.at[4, WW, WW].set(jnp.where(tk, 1.0, An[4, WW, WW]))
 
     # ---- standalone above-layer neighbours (boundary.F90:180-205) ---

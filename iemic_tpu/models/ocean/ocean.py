@@ -26,7 +26,8 @@ from ...config import ParameterList
 from ...grid import Grid, make_grid
 from ...ops.stencil import (UU, VV, WW, PP, TT, SS, apply_stencil, to_flat,
                             from_flat)
-from ...solvers.fgmres import fgmres, _fgmres_flat
+from ...solvers.fgmres import fgmres, _fgmres_flat, _fgmres_ir_flat
+from ...solvers import bgs
 from ...utils import logging as log
 from . import assembly, constants as c, landmask as lm
 from .assembly import CouplingCoefs, ForcingFields
@@ -116,6 +117,13 @@ def default_solver_params() -> ParameterList:
     p.set("FGMRES output", 10)
     p.set("FGMRES explicit residual test", False)
     p.set("Preconditioning", "Columns")
+    # "Mixed": f32 matvec/preconditioner inside an f64 Arnoldi with
+    # f64 iterative refinement (TPU f64 is emulated ~50-100x slower
+    # than f32); "Double": all-f64 like the reference's Belos stack.
+    # Mixed pays extra Krylov iterations fighting f32 operator noise
+    # whenever the preconditioned system is very ill-conditioned; with
+    # the column-block preconditioner Double is the robust default.
+    p.set("Precision", "Double")
     return p
 
 
@@ -166,6 +174,7 @@ class Ocean:
             solver_params = ParameterList("solver", solver_params)
         solver_params.validate_and_set_defaults(default_solver_params())
         self.solver_params = solver_params
+        self._data_dir = data_dir
 
         t = params.sublist("THCM")
         n = t.get("Global Grid-Size n")
@@ -298,11 +307,14 @@ class Ocean:
                 QTnd=QTnd, QSnd=QSnd)
             return assembly.boundary_frc_zero(Frc, landm, grid)
 
-        def _lin(par, fields, cpl):
+        def _lin(atoms_, par, fields, cpl):
+            # atoms_ is an explicit argument: at production grid sizes
+            # the linear atoms are hundreds of MB, far too large to bake
+            # into the jitted HLO as closure constants
             msi = fields.msi if fields.msi is not None else \
                 jnp.zeros((cfg.m, cfg.n))
             return assembly.lin(
-                atoms, par, grid, tres=cfg.tres, sres=cfg.sres,
+                atoms_, par, grid, tres=cfg.tres, sres=cfg.sres,
                 coupled_T=cfg.coupled_T, coupled_S=cfg.coupled_S,
                 cpl=cpl, msi=msi, QTnd=QTnd, QSnd=QSnd)
 
@@ -316,9 +328,9 @@ class Ocean:
             return assembly.nlin(zero, x, par, grid, landm,
                                  cfg.periodic, jac=False)
 
-        def _an_rhs(Nl, par, fields, cpl):
-            return assembly.boundaries(_lin(par, fields, cpl) + Nl,
-                                       landm, grid)
+        def _an_rhs(atoms_, Nl, par, fields, cpl):
+            return assembly.boundaries(_lin(atoms_, par, fields, cpl)
+                                       + Nl, landm, grid)
 
         def _rhs_from_parts(An, x, par, fields, cpl, int_correction):
             Au = apply_stencil(An, x, periodic=cfg.periodic)
@@ -330,25 +342,27 @@ class Ocean:
                 F = F.at[ir].set(cfg.int_sign * (intval - int_correction))
             return F
 
-        def _rhs(x, par, fields, cpl, int_correction):
+        def _rhs(atoms_, x, par, fields, cpl, int_correction):
             """Ocean-convention residual F(x)  (THCM rhs negated,
             THCM.C:1000-1035)."""
-            An = _an_rhs(_nl(x, par), par, fields, cpl)
+            An = _an_rhs(atoms_, _nl(x, par), par, fields, cpl)
             return _rhs_from_parts(An, x, par, fields, cpl,
                                    int_correction)
 
-        def _jac(x, par, fields, cpl):
-            Al = _lin(par, fields, cpl)
+        def _jac(atoms_, x, par, fields, cpl):
+            Al = _lin(atoms_, par, fields, cpl)
             An = assembly.nlin(Al, x, par, grid, landm, cfg.periodic,
                                jac=True)
             return assembly.boundaries(An, landm, grid)
 
         def _apply(An, v):
             """Jacobian action including the integral-condition row
-            replacement (THCM::intcond_S, THCM.C:2121-2196)."""
+            replacement (THCM::intcond_S, THCM.C:2121-2196).  Works in
+            v's dtype (f32 inside the mixed-precision Krylov loop)."""
             y = apply_stencil(An, v, periodic=cfg.periodic)
             if cfg.sres == 0:
-                y = y.at[ir].set(cfg.int_sign * jnp.vdot(int_coeff, v))
+                intval = jnp.vdot(int_coeff.astype(v.dtype), v)
+                y = y.at[ir].set((cfg.int_sign * intval).astype(y.dtype))
             return y
 
         def _mass(par):
@@ -357,11 +371,19 @@ class Ocean:
                 B = B.at[ir].set(0.0)
             return B
 
-        self._rhs_fn = jax.jit(_rhs)
+        _rhs_jit = jax.jit(_rhs)
+        _an_rhs_jit = jax.jit(_an_rhs)
+        _jac_jit = jax.jit(_jac)
+        # public wrappers keep the historical signatures; the atoms
+        # pytree is injected per call instead of captured as constants
+        self._rhs_fn = (lambda x, par, fields, cpl, ic:
+                        _rhs_jit(self.atoms, x, par, fields, cpl, ic))
         self._nl_fn = jax.jit(_nl)
-        self._an_rhs_fn = jax.jit(_an_rhs)
+        self._an_rhs_fn = (lambda Nl, par, fields, cpl:
+                           _an_rhs_jit(self.atoms, Nl, par, fields, cpl))
         self._rhs_from_parts_fn = jax.jit(_rhs_from_parts)
-        self._jac_fn = jax.jit(_jac)
+        self._jac_fn = (lambda x, par, fields, cpl:
+                        _jac_jit(self.atoms, x, par, fields, cpl))
         self._apply_fn = jax.jit(_apply)
         self._mass_fn = jax.jit(_mass)
         self._apply_impl = _apply
@@ -369,32 +391,73 @@ class Ocean:
         tol = self.solver_params.get("FGMRES tolerance")
         maxiter = self.solver_params.get("FGMRES iterations")
         prec_type = self.solver_params.get("Preconditioning")
+        precision = self.solver_params.get("Precision", "Mixed")
         self._deflator = None
 
         from ...solvers.preconditioner import (build_column_blocks,
                                                apply_column_prec)
 
-        def _solve(An, b, tol, nullq):
-            flat_b = b.reshape(-1)
-
-            def mv(v):
-                return self._apply_impl(An, v.reshape(b.shape)).reshape(-1)
-
+        def _make_prec(Binv, nullq_w, shape):
+            """Preconditioner closure in Binv's dtype."""
             if prec_type == "Columns":
-                Binv = build_column_blocks(An)
-
                 def pc(v):
                     z = apply_column_prec(Binv,
-                                          v.reshape(b.shape)).reshape(-1)
-                    if nullq is not None:
-                        z = z - nullq @ (nullq.T @ z)
+                                          v.reshape(shape)).reshape(-1)
+                    if nullq_w is not None:
+                        z = z - nullq_w @ (nullq_w.T @ z)
+                    return z
+            elif prec_type == "BGS":
+                def pc(v):
+                    z = bgs.apply(Binv, v.reshape(shape),
+                                  periodic=cfg.periodic).reshape(-1)
+                    if nullq_w is not None:
+                        z = z - nullq_w @ (nullq_w.T @ z)
                     return z
             else:
                 def pc(v):
                     return v
+            return pc
 
-            res = _fgmres_flat(mv, pc, flat_b, jnp.zeros_like(flat_b),
-                               jnp.asarray(tol, flat_b.dtype), maxiter)
+        landm_np = np.asarray(self.landm)
+
+        def _solve(An, b, tol, nullq):
+            flat_b = b.reshape(-1)
+            # factor the preconditioner in f64 — the blocks are far too
+            # ill-conditioned for an f32 inverse — then cast the
+            # *factors* down for the f32 Krylov loop
+            if prec_type == "Columns":
+                Binv = build_column_blocks(An)
+            elif prec_type == "BGS":
+                Binv = bgs.build(An, landm_np, periodic=cfg.periodic)
+            else:
+                Binv = None
+
+            def mv(v):
+                return self._apply_impl(An, v.reshape(b.shape)).reshape(-1)
+
+            if precision == "Mixed":
+                # f32 Krylov + f64 refinement (fgmres._fgmres_ir_flat)
+                An32 = An.astype(jnp.float32)
+                nullq32 = (nullq.astype(jnp.float32)
+                           if nullq is not None else None)
+
+                def mv32(v):
+                    return self._apply_impl(
+                        An32, v.reshape(b.shape)).reshape(-1)
+
+                Binv32 = None if Binv is None else jax.tree.map(
+                    lambda a: a.astype(jnp.float32), Binv)
+                pc32 = _make_prec(Binv32, nullq32, b.shape)
+                res = _fgmres_ir_flat(mv, mv32, pc32, flat_b,
+                                      jnp.zeros_like(flat_b),
+                                      jnp.asarray(tol, flat_b.dtype),
+                                      maxiter)
+            else:
+                pc = _make_prec(Binv, nullq, b.shape)
+                res = _fgmres_flat(mv, pc, flat_b,
+                                   jnp.zeros_like(flat_b),
+                                   jnp.asarray(tol, flat_b.dtype),
+                                   maxiter)
             return res.x.reshape(b.shape), res.iters, res.relres
 
         self._solve_fn = jax.jit(_solve, static_argnames=())
@@ -422,6 +485,50 @@ class Ocean:
         q, _ = np.linalg.qr(np.stack(valid, axis=1))
         self._deflator = jnp.asarray(q)
         return self._deflator
+
+    # ------------------------------------------------------------------
+    # Land mask swapping (reference Ocean::setLandMask/getLandMask,
+    # Ocean.C:490-788 — used by the topography homotopy)
+    # ------------------------------------------------------------------
+    def get_land_mask(self, filename: str) -> np.ndarray:
+        """Load a raw (l, m, n) land mask by file name, searched like
+        the constructor does (CWD, then <data_dir>/mkmask)."""
+        path = filename if os.path.exists(filename) else \
+            os.path.join(self._data_dir or ".", "mkmask", filename)
+        return lm.read_mask_file(path, self.grid)
+
+    def set_land_mask(self, landm: np.ndarray, *,
+                      finalized: bool = False) -> None:
+        """Install a new land mask and rebuild every mask-dependent
+        operator (atoms, integral condition, jitted closures).  Raw
+        (l, m, n) masks are finalized first (flood-fill of closed
+        cells, periodic seam, reference topo.F90:41-450)."""
+        t = self.params.sublist("THCM")
+        cfg = self.cfg
+        if landm.shape == (cfg.l, cfg.m, cfg.n):
+            # raw interior mask -> padded (l+2, m+2, n+2) convention
+            full = np.full((cfg.l + 2, cfg.m + 2, cfg.n + 2), 1,
+                           dtype=np.int32)
+            full[1:cfg.l + 1, 1:cfg.m + 1, 1:cfg.n + 1] = landm
+            landm = full
+        if not finalized:
+            landm = lm.finalize_mask(landm, self.grid, cfg.periodic,
+                                     flat=bool(t.get("Flat Bottom")))
+        self.landm = landm
+        self.atoms = assembly.build_linear_atoms(
+            self.grid, self.landm, ih=cfg.ih,
+            coriolis_on=cfg.coriolis_on)
+        self.int_coeff = jnp.asarray(
+            assembly.intcond_coeff(self.grid, self.landm))
+        if cfg.sres == 0 and \
+                self.landm[cfg.l, cfg.mic + 1, cfg.nic + 1] != 0:
+            raise RuntimeError(
+                "Integral row coordinates give a land point")
+        self.jac = None
+        self.diagB = None
+        self._deflator = None
+        self._build_jitted()
+        log.INFO("Ocean: land mask replaced; operators rebuilt")
 
     # ------------------------------------------------------------------
     # Model contract

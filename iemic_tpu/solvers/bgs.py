@@ -1,0 +1,322 @@
+"""Physics-based block Gauss-Seidel preconditioner (De Niet & Wubs).
+
+TPU-native re-design of the reference's tailored ocean preconditioner
+(reference src/trios/TRIOS_BlockPreconditioner.H:36-100 and the sweep
+TRIOS_BlockPreconditioner.C:1479-1611 SolveLower1; De Niet & Wubs,
+J. Comp. Physics 2006): split the Jacobian by variable groups
+
+    uv (momentum) | w | p | TS (tracers)
+
+and apply one block-GS sweep that treats each piece with the solver
+its physics wants:
+
+  1. baroclinic pressure   ytilp = Ap \\ b_w          (hydrostatic)
+  2. barotropic flow       Spp [uvbar, pbar] = ...    (depth-averaged
+     saddle point, inner FGMRES on a 2D stencil)
+  3. full pressure         y_p = ytilp + pbar, checkerboard-projected
+  4. momentum              y_uv = Auv \\ (b_uv - Guv y_p)
+  5. vertical velocity     y_w = Aw \\ (b_p - Duv y_uv) (continuity)
+  6. tracers               y_TS = ATS \\ (b_TS - BTSuv y_uv - BTSw y_w)
+
+Where the reference assembles 9 CRS submatrices and solves the inner
+systems with MRILU/ML/AztecOO, here every block stays a *slice of the
+stencil tensor* An(27, 6, 6, l, m, n):
+
+  * Ap / Aw are purely vertical (p_z, w_z live on the center column,
+    stencil locations 4/13/22) -> batched (l x l) dense solves over all
+    m*n columns, one MXU-friendly `linalg.solve` each (the analog of
+    the reference's ApMatrix / Aw triangular solves,
+    TRIOS_BlockPreconditioner.H:308,375-378).
+  * The depth-averaged saddle point Spp = [Auv-bar, Guv-bar; Duv-bar, 0]
+    is contracted to a 2D 9-point stencil (9, 3, 3, m, n) (the Mzp1/
+    Mzp2 depth-averaging operators, TRIOS_BlockPreconditioner.H:391)
+    and solved with a short inner FGMRES + 3x3 point-block Jacobi:
+    a 2D iteration costs ~1/200 of a 3D matvec, so even 50 inner
+    iterations are cheap.
+  * Auv / ATS use short inner FGMRES runs preconditioned by their own
+    vertical column blocks (replacing MRILU subsolves).
+
+Everything is jit-compatible: `build` produces a pytree of factors,
+`apply` is a pure function usable inside the outer FGMRES.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.stencil import offsets, NP, UU, VV, WW, PP, TT, SS
+
+_OFFS = offsets()
+# 2D 9-point neighborhood = the dk=0 stencil plane; vertical triple
+# (q, q+9, q+18) shares the same (di, dj)
+_UV = jnp.array([UU, VV])
+_TS = jnp.array([TT, SS])
+_UVP = jnp.array([UU, VV, PP])
+
+
+def _column_tridiag_solve(diag, down, up, b, *, eps=1e-12):
+    """Solve per-column block-tridiagonal systems.
+
+    diag/down/up: (nv, nv, l, m, n) coefficient tensors at stencil
+    locations 4/13/22 (center column).  b: (nv, l, m, n).
+    Dummy rows (all-zero, e.g. land or surface-w) get identity.
+    Returns x: (nv, l, m, n).
+    """
+    nv, _, l, m, n = diag.shape
+    d = nv * l
+    T = jnp.zeros((m, n, l, nv, l, nv), diag.dtype)
+    kk = jnp.arange(l)
+    dg = diag.transpose(2, 3, 4, 0, 1)      # (l, m, n, nv, nv)
+    dn = down.transpose(2, 3, 4, 0, 1)
+    upt = up.transpose(2, 3, 4, 0, 1)
+    T = T.at[:, :, kk, :, kk, :].set(dg)
+    T = T.at[:, :, kk[1:], :, kk[:-1], :].set(dn[1:])
+    T = T.at[:, :, kk[:-1], :, kk[1:], :].set(upt[:-1])
+    T = T.reshape(m * n, d, d)
+    # Gauge the structurally deficient rows to identity with zero rhs:
+    # zero-diagonal rows are either land/dummy (all-zero) or the
+    # per-column redundant equation — the top continuity row (its mean
+    # is the barotropic constraint handled by Spp) and the surface
+    # hydrostatic row (the reference's 'dummy W/P rows',
+    # TRIOS_BlockPreconditioner.C:478-487, and the W1/Phat cropping).
+    dg = jnp.abs(jnp.diagonal(T, axis1=1, axis2=2))      # (mn, d)
+    # relative threshold: assembly marks deficient rows with O(1e-10)
+    # diagonal stubs (cf. the 'dummy' detection in
+    # TRIOS_BlockPreconditioner.C:478-487), so compare against the
+    # block's own scale rather than an absolute eps
+    blockscale = jnp.maximum(jnp.max(jnp.abs(T), axis=(1, 2),
+                                     keepdims=False), eps)
+    dummy = dg < 1e-6 * blockscale[:, None]
+    dummyf = dummy.astype(T.dtype)
+    T = T * (1.0 - dummyf)[:, :, None]                   # zero the row
+    T = T + jnp.einsum('bi,ij->bij', dummyf, jnp.eye(d))
+    bc = b.transpose(2, 3, 1, 0).reshape(m * n, d)       # (k, var) order
+    bc = jnp.where(dummy, 0.0, bc)
+    x = jnp.linalg.solve(T, bc[..., None]).squeeze(-1)
+    return x.reshape(m, n, l, nv).transpose(3, 2, 0, 1)
+
+
+def _block_apply(An, rows, cols, x, periodic):
+    """y[rows] = An[:, rows, cols] * x  (x holds the cols variables)."""
+    from ..ops.stencil import apply_stencil
+    sub = An[:, rows][:, :, cols]
+    return apply_stencil(sub, x, periodic=periodic)
+
+
+def _apply_2d(S, x, periodic):
+    """2D 9-point stencil matvec: S (9, nv, nv, m, n), x (nv, m, n)."""
+    nv, m, n = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
+    if periodic:
+        xp = xp.at[:, :, 0].set(xp[:, :, -2])
+        xp = xp.at[:, :, -1].set(xp[:, :, 1])
+    windows = jnp.stack([
+        xp[:, 1 + dj:1 + dj + m, 1 + di:1 + di + n]
+        for (di, dj, dk) in _OFFS[:9]
+    ])
+    return jnp.einsum('pABji,pBji->Aji', S, windows)
+
+
+class BGSPrec(NamedTuple):
+    """Factored state of the block-GS preconditioner (a pytree)."""
+    An: jnp.ndarray           # full stencil (for the couplings)
+    Spp: jnp.ndarray          # (9, 3, 3, m, n) depth-averaged saddle
+    Spp_binv: jnp.ndarray     # (m*n, 3, 3) point-block inverses
+    uv_binv: jnp.ndarray      # (m*n, 2l, 2l) Auv column-block inverses
+    ts_binv: jnp.ndarray      # (m*n, 2l, 2l) ATS column-block inverses
+    svp: jnp.ndarray          # (2, l, m, n) pressure null modes
+    sv2d: jnp.ndarray         # (2, m, n) barotropic null modes of Spp
+
+
+def _column_block_inv(An, vars_idx, *, eps=1e-12):
+    """Batched inverses of the vertical column blocks of a sub-block."""
+    sub = An[:, vars_idx][:, :, vars_idx]
+    nv = len(vars_idx)
+    _, _, l, m, n = sub.shape[1:]
+    d = nv * l
+    diag = sub[4].transpose(2, 3, 4, 0, 1)
+    down = sub[13].transpose(2, 3, 4, 0, 1)
+    up = sub[22].transpose(2, 3, 4, 0, 1)
+    B = jnp.zeros((m, n, l, nv, l, nv), sub.dtype)
+    kk = jnp.arange(l)
+    B = B.at[:, :, kk, :, kk, :].set(diag)
+    B = B.at[:, :, kk[1:], :, kk[:-1], :].set(down[1:])
+    B = B.at[:, :, kk[:-1], :, kk[1:], :].set(up[:-1])
+    B = B.reshape(m * n, d, d)
+    rowmax = jnp.max(jnp.abs(B), axis=2)
+    dummy = (rowmax < eps).astype(B.dtype)
+    B = B + jnp.einsum('bi,ij->bij', dummy, jnp.eye(d, dtype=B.dtype))
+    return jnp.linalg.inv(B)
+
+
+def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
+          dzw=None) -> BGSPrec:
+    """Factor the preconditioner from the stencil tensor.
+
+    landm: padded (l+2, m+2, n+2) land mask (for the checkerboard
+    pressure modes); dzw: optional (l,) layer weights for the depth
+    average (defaults to uniform).
+    """
+    _, nun, _, l, m, n = An.shape
+
+    # ---- depth-averaged 2D saddle point over (u, v, p) ----------------
+    # restriction = sum over k of all three z-planes (constant-in-z
+    # prolongation makes the column sums exact, Mzp-style)
+    sub = An[:, _UVP][:, :, _UVP]                # (27, 3, 3, l, m, n)
+    w = jnp.ones((l,)) if dzw is None else jnp.asarray(dzw)
+    w = w / jnp.sum(w)
+    trip = sub[:9] + sub[9:18] + sub[18:27]
+    Spp = jnp.einsum('pABkji,k->pABji', trip, w)
+
+    # point-block Jacobi factors of Spp with a shift on the singular
+    # pressure point-block (p diagonal of the saddle is 0)
+    D = Spp[4].transpose(2, 3, 0, 1).reshape(m * n, 3, 3)
+    scale = jnp.maximum(jnp.max(jnp.abs(D), axis=(1, 2), keepdims=True),
+                        1e-12)
+    ee = jnp.zeros((3,)).at[2].set(1.0)
+    D = D + scale * ee[:, None] * ee[None, :]
+    rowmax = jnp.max(jnp.abs(D), axis=2)
+    dummy = (rowmax < 1e-12).astype(D.dtype)
+    D = D + jnp.einsum('bi,ij->bij', dummy, jnp.eye(3))
+    Spp_binv = jnp.linalg.inv(D)
+
+    uv_binv = _column_block_inv(An, _UV)
+    ts_binv = _column_block_inv(An, _TS)
+
+    # pressure null modes (constant + checkerboard over ocean points,
+    # reference svp1/svp2, TRIOS_BlockPreconditioner.H:489-494)
+    ocean = jnp.asarray(
+        (np.asarray(landm)[1:l + 1, 1:m + 1, 1:n + 1] == 0)
+        .astype(np.float64))
+    const = ocean
+    ij = (np.arange(m)[:, None] + np.arange(n)[None, :]) % 2
+    cb = ocean * jnp.asarray(np.where(ij == 0, 1.0, -1.0))
+    svp = jnp.stack([
+        const / jnp.maximum(jnp.linalg.norm(const), 1e-300),
+        cb / jnp.maximum(jnp.linalg.norm(cb), 1e-300)])
+
+    # 2D shadows of the null modes for the Spp inner solve
+    wet = jnp.max(ocean, axis=0)                          # (m, n)
+    c2 = wet
+    cb2 = wet * jnp.asarray(np.where(ij == 0, 1.0, -1.0))
+    sv2d = jnp.stack([
+        c2 / jnp.maximum(jnp.linalg.norm(c2), 1e-300),
+        cb2 / jnp.maximum(jnp.linalg.norm(cb2), 1e-300)])
+
+    return BGSPrec(An=An, Spp=Spp, Spp_binv=Spp_binv,
+                   uv_binv=uv_binv, ts_binv=ts_binv, svp=svp,
+                   sv2d=sv2d)
+
+
+def _apply_col_inv(binv, r):
+    """Apply batched column-block inverses: r (nv, l, m, n)."""
+    nv, l, m, n = r.shape
+    rc = r.transpose(2, 3, 1, 0).reshape(m * n, l * nv)
+    zc = jnp.einsum('bij,bj->bi', binv, rc)
+    return zc.reshape(m, n, l, nv).transpose(3, 2, 0, 1)
+
+
+def _inner_fgmres(matvec, prec, b, tol, maxiter):
+    from .fgmres import _fgmres_flat
+    res = _fgmres_flat(matvec, prec, b.reshape(-1),
+                       jnp.zeros_like(b.reshape(-1)),
+                       jnp.asarray(tol, b.dtype), maxiter)
+    return res.x.reshape(b.shape)
+
+
+@partial(jax.jit, static_argnames=("periodic", "nit_spp", "nit_uv",
+                                   "nit_ts"))
+def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
+          nit_spp: int = 40, nit_uv: int = 8,
+          nit_ts: int = 8) -> jnp.ndarray:
+    """One block-GS sweep z ~= J^{-1} r (SolveLower-style)."""
+    An = prec.An
+    _, nun, _, l, m, n = An.shape
+    buv = r[jnp.array([UU, VV])]
+    bw = r[WW][None]
+    bp = r[PP][None]
+    bts = r[jnp.array([TT, SS])]
+
+    # 1. baroclinic pressure from the hydrostatic (w) rows
+    ytilp = _column_tridiag_solve(
+        An[4][WW:WW + 1, PP:PP + 1],
+        An[13][WW:WW + 1, PP:PP + 1],
+        An[22][WW:WW + 1, PP:PP + 1],
+        bw)
+
+    # 2. depth-averaged saddle point for the barotropic flow
+    # (restriction = layer mean, matching the Spp contraction weights)
+    ruv = buv - _block_apply(An, _UV, jnp.array([PP]), ytilp, periodic)
+    rbar = jnp.concatenate([jnp.mean(ruv, axis=1), jnp.mean(bp, axis=1)])
+
+    def spp_mv(v):
+        return _apply_2d(prec.Spp, v.reshape(3, m, n),
+                         periodic).reshape(-1)
+
+    def spp_pc(v):
+        z = jnp.einsum('bij,bj->bi', prec.Spp_binv,
+                       v.reshape(3, m, n).transpose(1, 2, 0)
+                       .reshape(m * n, 3))
+        z = z.reshape(m, n, 3).transpose(2, 0, 1)
+        # deflate the barotropic pressure null modes (const +
+        # checkerboard) so the inner Krylov never grows them
+        for q in range(2):
+            sv = prec.sv2d[q]
+            z = z.at[2].add(-jnp.vdot(sv, z[2]) * sv)
+        return z.reshape(-1)
+
+    zbar = _inner_fgmres(spp_mv, spp_pc, rbar, 1e-2, nit_spp)
+    zbar = zbar.reshape(3, m, n)
+
+    # 3. full pressure = baroclinic + barotropic, checkerboard-projected
+    yp = ytilp + zbar[2][None, None, :, :]
+    for q in range(2):
+        sv = prec.svp[q]
+        yp = yp - jnp.vdot(sv, yp[0])[None] * sv[None]
+
+    # 4. momentum with the pressure eliminated
+    ruv2 = buv - _block_apply(An, _UV, jnp.array([PP]), yp, periodic)
+
+    def uv_mv(v):
+        return _block_apply(An, _UV, _UV, v.reshape(2, l, m, n),
+                            periodic).reshape(-1)
+
+    def uv_pc(v):
+        return _apply_col_inv(prec.uv_binv,
+                              v.reshape(2, l, m, n)).reshape(-1)
+
+    yuv = _inner_fgmres(uv_mv, uv_pc, ruv2, 1e-2, nit_uv)
+
+    # 5. vertical velocity from continuity
+    rw = bp - _block_apply(An, jnp.array([PP]), _UV, yuv, periodic)
+    yw = _column_tridiag_solve(
+        An[4][PP:PP + 1, WW:WW + 1],
+        An[13][PP:PP + 1, WW:WW + 1],
+        An[22][PP:PP + 1, WW:WW + 1],
+        rw)
+
+    # 6. tracers
+    rts = (bts
+           - _block_apply(An, _TS, _UV, yuv, periodic)
+           - _block_apply(An, _TS, jnp.array([WW]), yw, periodic))
+
+    def ts_mv(v):
+        return _block_apply(An, _TS, _TS, v.reshape(2, l, m, n),
+                            periodic).reshape(-1)
+
+    def ts_pc(v):
+        return _apply_col_inv(prec.ts_binv,
+                              v.reshape(2, l, m, n)).reshape(-1)
+
+    yts = _inner_fgmres(ts_mv, ts_pc, rts, 1e-2, nit_ts)
+
+    z = jnp.zeros_like(r)
+    z = z.at[UU].set(yuv[0]).at[VV].set(yuv[1])
+    z = z.at[WW].set(yw[0]).at[PP].set(yp[0])
+    z = z.at[TT].set(yts[0]).at[SS].set(yts[1])
+    return z

@@ -32,6 +32,16 @@ def build_column_blocks(An: jnp.ndarray, *, eps: float = 1e-8
     """Batched inverses of the vertical column blocks.
 
     An: (27, 6, 6, l, m, n) -> (m*n, 6l, 6l) inverse blocks.
+
+    Every water column's block is exactly singular: pressure enters the
+    column only through p_z (hydrostatic) so the column-constant
+    pressure mode is in its null space — the per-column shadow of the
+    global constant/checkerboard modes (reference THCM::getNullSpace,
+    THCM.C:2846-2888).  A tiny eps*I regularization would put ~1/eps
+    entries into the inverse, which is fatal for the f32 copy used in
+    the mixed-precision Krylov loop; instead the constant-p mode gets a
+    rank-one shift of the block's own scale, keeping the factors
+    O(1/physics) and the preconditioner exact on the complement.
     """
     _, nun, _, l, m, n = An.shape
     d = nun * l
@@ -48,6 +58,10 @@ def build_column_blocks(An: jnp.ndarray, *, eps: float = 1e-8
     B = B.at[:, :, kk[1:], :, kk[:-1], :].set(down[1:])
     B = B.at[:, :, kk[:-1], :, kk[1:], :].set(up[:-1])
     B = B.reshape(m * n, d, d)
+    # rank-one shift of the column-constant pressure null mode
+    e = jnp.zeros(d).at[PP::nun].set(1.0 / jnp.sqrt(jnp.float64(l)))
+    scale = jnp.max(jnp.abs(B), axis=(1, 2), keepdims=True)
+    B = B + jnp.maximum(scale, 1.0) * e[:, None] * e[None, :]
     B = B + eps * jnp.eye(d)
     return jnp.linalg.inv(B)
 
