@@ -237,6 +237,44 @@ class Ocean:
             if os.path.exists(spath):
                 fields["spert"] = jnp.asarray(
                     lm.read_spert_mask(spath, self.grid, self.landm))
+
+        # Levitus climatological forcing (reference levitus.F90): with
+        # "Levitus T/S" == 0 the tatm/emip restoring fields come from
+        # data files instead of the idealized temfun/salfun profiles.
+        from . import forcing_data as fd
+
+        def _data_path(key):
+            p = t.get(key)
+            if p and os.path.exists(p):
+                return p
+            if p and data_dir and os.path.exists(os.path.join(data_dir, p)):
+                return os.path.join(data_dir, p)
+            return None
+
+        if cfg.ite == 0:
+            p = _data_path("Temperature Forcing Data")
+            if p:
+                fields["tatm"] = jnp.asarray(fd.levitus_surface(
+                    p, self.grid, self.landm, "TEMP"))
+        if cfg.its == 0:
+            p = _data_path("Salinity Forcing Data")
+            if p:
+                fields["emip"] = jnp.asarray(fd.levitus_surface(
+                    p, self.grid, self.landm, "SALT"))
+        if cfg.iza != 2:
+            p = _data_path("Wind Forcing Data")
+            if p:
+                tx, ty = fd.windfit(p, self.grid)
+                fields["taux"] = jnp.asarray(tx)
+                fields["tauy"] = jnp.asarray(ty)
+        if t.get("Levitus Internal T/S"):
+            pt = _data_path("Temperature Forcing Data")
+            ps = _data_path("Salinity Forcing Data")
+            if pt and ps:
+                fields["internal_temp"] = jnp.asarray(fd.levitus_internal(
+                    pt, self.grid, self.landm, "TEMP"))
+                fields["internal_salt"] = jnp.asarray(fd.levitus_internal(
+                    ps, self.grid, self.landm, "SALT"))
         self.fields = ForcingFields(**fields)
         self.cpl = CouplingCoefs()
 

@@ -1,0 +1,95 @@
+"""Land-mask creation and editing tools (reference matlab/create_mask.m,
+edit_mask.m, and the flood/smooth/merge helpers in matlab/ and
+data/mkmask/).
+
+Masks use the reference's convention: an (l+2, m+2, n+2) integer array
+with 0 = OCEAN and 1 = LAND including a one-cell border of ghost
+cells; the raw interior (l, m, n) view is what these tools produce and
+edit (see iemic_tpu.models.ocean.landmask.finalize_mask)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def create_mask(n: int, m: int, l: int, land=None) -> np.ndarray:
+    """Blank (all-ocean) raw mask, optionally with land columns set
+    from a 2D (m, n) boolean array."""
+    raw = np.zeros((l, m, n), dtype=np.int64)
+    if land is not None:
+        raw[:, np.asarray(land, dtype=bool)] = 1
+    return raw
+
+
+def flood_fill(mask2d: np.ndarray, seed: tuple[int, int],
+               periodic: bool = False) -> np.ndarray:
+    """Connected-component fill of ocean points starting from seed;
+    everything not reachable becomes land (the reference's
+    topo.F90:41-450 flood-fill removes isolated seas and bays)."""
+    m, n = mask2d.shape
+    ocean = (np.asarray(mask2d) == 0)
+    reach = np.zeros_like(ocean, dtype=bool)
+    stack = [seed]
+    while stack:
+        j, i = stack.pop()
+        if not (0 <= j < m):
+            continue
+        ii = i % n if periodic else i
+        if not (0 <= ii < n):
+            continue
+        if reach[j, ii] or not ocean[j, ii]:
+            continue
+        reach[j, ii] = True
+        stack.extend([(j + 1, ii), (j - 1, ii), (j, ii + 1), (j, ii - 1)])
+    out = np.where(reach, 0, 1).astype(np.int64)
+    return out
+
+
+def smooth_mask(mask2d: np.ndarray, min_neighbors: int = 2,
+                iterations: int = 1) -> np.ndarray:
+    """Remove single-cell ocean inlets/peninsulas: an ocean cell with
+    fewer than min_neighbors ocean neighbors becomes land and vice
+    versa (matlab mask smoothing)."""
+    mk = np.asarray(mask2d).copy()
+    for _ in range(iterations):
+        ocean = (mk == 0).astype(int)
+        nb = (np.roll(ocean, 1, 0) + np.roll(ocean, -1, 0)
+              + np.roll(ocean, 1, 1) + np.roll(ocean, -1, 1))
+        mk = np.where((ocean == 1) & (nb < min_neighbors), 1, mk)
+        land = (mk != 0).astype(int)
+        nbl = (np.roll(land, 1, 0) + np.roll(land, -1, 0)
+               + np.roll(land, 1, 1) + np.roll(land, -1, 1))
+        mk = np.where((land == 1) & (nbl < min_neighbors), 0, mk)
+    return mk
+
+
+def mask_from_etopo(depth2d: np.ndarray, grid, nlev: int | None = None
+                    ) -> np.ndarray:
+    """Raw 3D mask from a bathymetry field (m, n) in meters (negative
+    below sea level) — the reference's mkmask path from ETOPO data:
+    a cell (k, j, i) is land when the sea floor is shallower than the
+    cell's bottom face."""
+    l = grid.l if nlev is None else nlev
+    zw = np.asarray(grid.zw[:-1]) * grid.hdim        # bottom faces (<0)
+    raw = np.zeros((l, depth2d.shape[0], depth2d.shape[1]),
+                   dtype=np.int64)
+    for k in range(l):
+        raw[k] = (np.asarray(depth2d) > zw[k]).astype(np.int64)
+    return raw
+
+
+def write_mask_file(path: str, raw: np.ndarray) -> None:
+    """Write a mask in the reference's ascii mkmask format read by
+    landmask.read_mask_file (topo.F90:41-66): per level k = 0..l+1 a
+    header line, then m+2 digit rows from j = m+1 down to 0, each of
+    n+2 digits (including the all-land ghost border)."""
+    l, m, n = raw.shape
+    full = np.ones((l + 2, m + 2, n + 2), dtype=np.int64)
+    full[1:l + 1, 1:m + 1, 1:n + 1] = raw
+    lines = []
+    for k in range(l + 2):
+        lines.append(f"%% level {k}")
+        for j in range(m + 1, -1, -1):
+            lines.append("".join(str(int(v)) for v in full[k, j]))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -1,1 +1,2 @@
-from .fgmres import fgmres  # noqa: F401
+from .fgmres import fgmres, fgmres_host  # noqa: F401
+from .idr import idr_host, IDRResult  # noqa: F401

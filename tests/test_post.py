@@ -1,0 +1,84 @@
+"""Post-processing toolbox tests (reference matlab/ tools + ops
+scripts: plot_*, compute_transports, mask creation/editing,
+plotbif/cdata parsing)."""
+
+import numpy as np
+
+from iemic_tpu.grid import make_grid
+from iemic_tpu.post import (flood_fill, smooth_mask, create_mask,
+                            mask_from_etopo, compute_transports)
+from iemic_tpu.post.masks import write_mask_file
+from iemic_tpu.post.plotting import read_cdata, plot_bif
+from iemic_tpu.models.ocean import landmask as lm
+
+
+def test_flood_fill_removes_lake():
+    mk = np.zeros((8, 8), dtype=np.int64)
+    mk[3, :] = 1                       # wall across the basin
+    out = flood_fill(mk, seed=(0, 0))
+    # everything north of the wall unreachable -> land
+    assert np.all(out[4:] == 1)
+    assert np.all(out[:3] == 0)
+
+
+def test_flood_fill_periodic_wrap():
+    mk = np.zeros((4, 6), dtype=np.int64)
+    mk[:, 3] = 1                       # meridional wall
+    out_np = flood_fill(mk, seed=(0, 0), periodic=False)
+    out_p = flood_fill(mk, seed=(0, 0), periodic=True)
+    # non-periodic: east of the wall is unreachable
+    assert np.all(out_np[:, 4:] == 1)
+    # periodic: reachable around the back
+    assert np.all(out_p[:, 4:] == 0)
+
+
+def test_smooth_mask_removes_spike():
+    mk = np.ones((6, 6), dtype=np.int64)
+    mk[2:4, 2:4] = 0
+    mk[0, 0] = 0                       # isolated one-cell ocean
+    out = smooth_mask(mk, min_neighbors=2)
+    assert out[0, 0] == 1              # spike removed
+    assert np.all(out[2:4, 2:4] == 0)  # basin kept
+
+
+def test_mask_roundtrip(tmp_path):
+    g = make_grid(6, 5, 4, xmin_deg=0, xmax_deg=60, ymin_deg=-30,
+                  ymax_deg=30)
+    raw = create_mask(g.n, g.m, g.l)
+    raw[:, 2, 3] = 1
+    path = tmp_path / "mask_test"
+    write_mask_file(str(path), raw)
+    back = lm.read_mask_file(str(path), g)
+    np.testing.assert_array_equal(back[1:g.l + 1, 1:g.m + 1, 1:g.n + 1],
+                                  raw)
+
+
+def test_mask_from_etopo():
+    g = make_grid(4, 4, 4, xmin_deg=0, xmax_deg=40, ymin_deg=0,
+                  ymax_deg=40)
+    depth = np.full((4, 4), -g.hdim)   # deep everywhere
+    depth[1, 1] = -1.0                 # shallow shelf -> land column
+    raw = mask_from_etopo(depth, g)
+    assert np.all(raw[:, 1, 1][:-1] == 1)
+    assert raw[:, 0, 0].sum() == 0
+
+
+def test_transports_zero_state():
+    from test_continuation_2dmoc import make_2dmoc_ocean
+    ocean = make_2dmoc_ocean(n=4, m=4, l=4)
+    tr = compute_transports(ocean, i_section=2, j_section=2)
+    assert tr["zonal"] == 0.0 and tr["meridional"] == 0.0
+
+
+def test_cdata_parse_and_plot(tmp_path):
+    p = tmp_path / "cdata.txt"
+    p.write_text(
+        "#  par ds ||x|| ||F|| NR MV maxpsi minpsi\n"
+        "0.1 0.01 1.0 1e-9 3 50 0.5 -0.5\n"
+        "0.2 0.02 2.0 1e-9 3 52 0.8 -0.8\n")
+    dat = read_cdata(str(p))
+    assert dat.shape == (2, 8)
+    fig = plot_bif(str(p), fname=str(tmp_path / "bif.png"))
+    assert (tmp_path / "bif.png").exists()
+    import matplotlib.pyplot as plt
+    plt.close(fig)
