@@ -332,10 +332,6 @@ class Ocean:
         QTnd, QSnd = self.QTnd, self.QSnd
         ir = self.rowintcon
 
-        interior = jnp.asarray(
-            1.0 - landm[1:cfg.l + 1, 1:cfg.m + 1,
-                        1:cfg.n + 1].astype(np.float64))
-
         def _frc(par, fields, cpl):
             Frc = assembly.forcing(
                 par, grid, landm, tres=cfg.tres, sres=cfg.sres,
@@ -373,8 +369,14 @@ class Ocean:
         def _rhs_from_parts(An, x, par, fields, cpl, int_correction):
             Au = apply_stencil(An, x, periodic=cfg.periodic)
             Frc = _frc(par, fields, cpl)
-            B = (-Au + Frc) * interior   # landmask rhs (usrc.F90:563)
-            F = -B
+            # F = An x - Frc.  Frc is already zero on land
+            # (boundary_frc_zero), and the land rows of An are identity
+            # (boundary.F90:381-387), so land rows carry the Dirichlet
+            # residual F = x — exactly consistent with the Jacobian and
+            # the mechanism that relaxes freshly-landed cells to zero
+            # after a mask swap (the reference applies the mask to the
+            # state instead, Ocean::applyLandMask, Ocean.C:490-788).
+            F = Au - Frc
             if cfg.sres == 0:
                 intval = jnp.vdot(int_coeff, x)
                 F = F.at[ir].set(cfg.int_sign * (intval - int_correction))

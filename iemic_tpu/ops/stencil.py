@@ -118,6 +118,62 @@ def stencil_to_dense(An: np.ndarray, *, periodic: bool) -> np.ndarray:
     return A
 
 
+def stencil_to_csr(An: np.ndarray, *, periodic: bool
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Assemble the stencil tensor into CSR arrays (data, indices,
+    indptr) in the reference's flat row ordering — the vectorized
+    analog of the reference's fillcolA assembly
+    (assemble.F90:57-142), used by the native MILU preconditioner
+    and for sparse cross-checks.  Zero entries are kept out.
+    """
+    An = np.asarray(An)
+    _, nun, _, l, m, n = An.shape
+    ndim = nun * l * m * n
+
+    kk, jj, ii = np.meshgrid(np.arange(l), np.arange(m), np.arange(n),
+                             indexing="ij")
+    rows_base = ((kk * m + jj) * n + ii) * nun       # (l, m, n)
+
+    row_list, col_list, val_list = [], [], []
+    for p in range(NP):
+        di, dj, dk = _OFFS[p]
+        k2, j2, i2 = kk + dk, jj + dj, ii + di
+        if periodic:
+            i2 = i2 % n
+            valid = ((0 <= k2) & (k2 < l) & (0 <= j2) & (j2 < m))
+        else:
+            valid = ((0 <= k2) & (k2 < l) & (0 <= j2) & (j2 < m)
+                     & (0 <= i2) & (i2 < n))
+        cols_base = ((np.clip(k2, 0, l - 1) * m + np.clip(j2, 0, m - 1))
+                     * n + np.clip(i2, 0, n - 1)) * nun
+        for a in range(nun):
+            for b in range(nun):
+                c = An[p, a, b]
+                nz = valid & (c != 0.0)
+                if not nz.any():
+                    continue
+                row_list.append(rows_base[nz] + a)
+                col_list.append(cols_base[nz] + b)
+                val_list.append(c[nz])
+    rows = np.concatenate(row_list)
+    cols = np.concatenate(col_list)
+    vals = np.concatenate(val_list)
+    # sort by (row, col) and sum duplicates
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    # duplicates can only come from periodic wrap on tiny grids
+    key = rows.astype(np.int64) * ndim + cols
+    uniq, inv = np.unique(key, return_inverse=True)
+    data = np.zeros(len(uniq))
+    np.add.at(data, inv, vals)
+    indices = (uniq % ndim).astype(np.int32)
+    urows = (uniq // ndim).astype(np.int64)
+    indptr = np.zeros(ndim + 1, dtype=np.int64)
+    np.add.at(indptr, urows + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return data, indices, indptr
+
+
 def from_flat(x_flat: jnp.ndarray, l: int, m: int, n: int) -> jnp.ndarray:
     """Reference flat vector (row = nun*((k*m+j)*n+i)+X) -> (nun,l,m,n)."""
     return x_flat.reshape(l, m, n, NUN).transpose(3, 0, 1, 2)

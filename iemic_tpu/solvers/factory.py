@@ -1,0 +1,184 @@
+"""Solver / preconditioner factory.
+
+TPU-native analog of the reference's TRIOS::SolverFactory
+(reference src/trios/TRIOS_SolverFactory.C:65-250,
+TRIOS_SolverFactory.H:22-60), which builds the subsystem
+preconditioners (Ifpack AdditiveSchwarz{ILU, ILUT, Amesos, MRILU},
+ML multigrid) and AztecOO Krylov solvers from nested parameter lists
+(parameterfiles/ocean_preconditioner_params.xml).
+
+Here the factory dispatches on a "Method" name to the TPU-native
+preconditioner implementations, returning (build, apply) closures with
+a uniform contract:
+
+    build(An)        -> factors (a pytree)
+    apply(factors, r) -> z ~= J^{-1} r       (jit-compatible)
+
+Methods:
+  * "None"       — identity (AztecOO unpreconditioned analog)
+  * "Columns"    — batched vertical column-block inverses
+                   (:mod:`.preconditioner`; the role Ifpack ILU plays
+                   for the reference: the cheap robust default)
+  * "BGS"        — the physics-based block-GS sweep (:mod:`.bgs`; the
+                   BlockPreconditioner analog, De Niet & Wubs 2006)
+  * "MILU"       — native C++ multilevel ILU on the assembled CSR
+                   matrix (:mod:`iemic_tpu.native.milu`; the MRILU
+                   analog, host-side factorization — reference
+                   mrilu/ + src/mrilucpp/)
+
+plus :func:`make_krylov` (AztecOO construction analog) and
+:func:`spectrum_analysis` (the reference's SolverFactory spectrum
+probe of P^{-1} A, TRIOS_SolverFactory.H:22-60).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import ParameterList
+from ..utils import logging as log
+
+
+def default_prec_params() -> ParameterList:
+    p = ParameterList("Preconditioner")
+    p.set("Method", "Columns")
+    # BGS inner-iteration budget (the reference's per-block solver
+    # parameter sublists, ocean_preconditioner_params.xml:427-560)
+    p.set("Saddlepoint iterations", 40)
+    p.set("Saddlepoint scheme", "KRYLOV")   # or SI / SL / SR
+    p.set("Auv iterations", 8)
+    p.set("ATS iterations", 8)
+    # MILU (MRILU-analog) knobs
+    p.set("MILU drop tolerance", 1e-3)
+    p.set("MILU max levels", 12)
+    p.set("MILU fill factor", 10.0)
+    return p
+
+
+def make_preconditioner(params: ParameterList | dict | None, *,
+                        landm: np.ndarray, periodic: bool,
+                        grid_shape: tuple[int, int, int]
+                        ) -> tuple[Callable, Callable]:
+    """Return (build, apply) closures for the configured method."""
+    if params is None:
+        params = ParameterList("Preconditioner")
+    if isinstance(params, dict):
+        params = ParameterList("Preconditioner", params)
+    params.validate_and_set_defaults(default_prec_params())
+    method = params.get("Method")
+    l, m, n = grid_shape
+
+    if method == "None":
+        return (lambda An: None), (lambda fac, r: r)
+
+    if method == "Columns":
+        from .preconditioner import build_column_blocks, apply_column_prec
+
+        def build(An):
+            return build_column_blocks(An)
+
+        def apply(fac, r):
+            return apply_column_prec(fac, r)
+
+        return build, apply
+
+    if method == "BGS":
+        from . import bgs
+        nit_spp = params.get("Saddlepoint iterations")
+        nit_uv = params.get("Auv iterations")
+        nit_ts = params.get("ATS iterations")
+
+        def build(An):
+            return bgs.build(An, landm, periodic=periodic)
+
+        def apply(fac, r):
+            return bgs.apply(fac, r, periodic=periodic,
+                             nit_spp=nit_spp, nit_uv=nit_uv,
+                             nit_ts=nit_ts)
+
+        return build, apply
+
+    if method == "MILU":
+        from ..native import milu
+        droptol = params.get("MILU drop tolerance")
+        maxlev = params.get("MILU max levels")
+        fill = params.get("MILU fill factor")
+        from ..ops.stencil import stencil_to_csr, to_flat, from_flat
+
+        def build(An):
+            data, indices, indptr = stencil_to_csr(
+                np.asarray(An), periodic=periodic)
+            return milu.factor(data, indices, indptr,
+                               droptol=droptol, max_levels=maxlev,
+                               fill_factor=fill)
+
+        def apply(fac, r):
+            z = milu.solve(fac, np.asarray(to_flat(r)))
+            return from_flat(jnp.asarray(z), l, m, n)
+
+        return build, apply
+
+    raise ValueError(f"SolverFactory: unknown method '{method}'")
+
+
+def make_krylov(solver_params: ParameterList | dict | None = None):
+    """Krylov solver construction (the AztecOO/Belos construction
+    analog, TRIOS_SolverFactory.C:65-250): returns a host-driven
+    ``solve(matvec, b, prec)`` closure configured from the list."""
+    from .fgmres import fgmres_host
+    from .idr import idr_host
+
+    sp = solver_params or {}
+    if isinstance(sp, ParameterList):
+        sp = sp.to_dict()
+    method = sp.get("Method", "FGMRES")
+    tol = sp.get("Tolerance", 1e-8)
+    maxiter = sp.get("Max iterations", 200)
+    s = sp.get("IDR s", 4)
+
+    if method == "FGMRES":
+        def solve(matvec, b, prec=None):
+            return fgmres_host(matvec, b, prec=prec, tol=tol,
+                               maxiter=maxiter)
+        return solve
+    if method == "IDR":
+        def solve(matvec, b, prec=None):
+            return idr_host(matvec, b, prec=prec, tol=tol,
+                            maxiter=maxiter, s=s)
+        return solve
+    raise ValueError(f"SolverFactory: unknown Krylov method '{method}'")
+
+
+def spectrum_analysis(matvec: Callable, prec: Callable, N: int, *,
+                      nsample: int = 40, seed: int = 0) -> np.ndarray:
+    """Estimate the spectrum of P^{-1} A by Arnoldi Ritz values — the
+    TPU analog of the reference's SolverFactory spectrum probe
+    (TRIOS_SolverFactory.H:22-60), used to judge preconditioner
+    quality (MV effort) offline."""
+    rng = np.random.default_rng(seed)
+    k = min(nsample, N - 1)
+    V = np.zeros((N, k + 1))
+    H = np.zeros((k + 1, k))
+    v0 = rng.standard_normal(N)
+    V[:, 0] = v0 / np.linalg.norm(v0)
+    j = 0
+    for j in range(k):
+        w = np.asarray(prec(jnp.asarray(
+            np.asarray(matvec(jnp.asarray(V[:, j]))).reshape(-1)
+        ))).reshape(-1)
+        for i in range(j + 1):
+            H[i, j] = V[:, i] @ w
+            w = w - H[i, j] * V[:, i]
+        H[j + 1, j] = np.linalg.norm(w)
+        if H[j + 1, j] < 1e-12:
+            j += 1
+            break
+        V[:, j + 1] = w / H[j + 1, j]
+    ritz = np.linalg.eigvals(H[:j, :j])
+    log.INFO(f"spectrum_analysis: {j} Ritz values, "
+             f"|lambda| in [{np.abs(ritz).min():.2e}, "
+             f"{np.abs(ritz).max():.2e}]")
+    return ritz

