@@ -290,6 +290,8 @@ class Ocean:
             self.grid, self.landm, ih=cfg.ih, coriolis_on=cfg.coriolis_on)
 
         alphaT = t.get("Linear EOS: alpha T")
+        self._alphaT = alphaT
+        self.mixing = self._make_mixing()
         alphaS = t.get("Linear EOS: alpha S")
         self.par = jnp.asarray(c.stpnt(self.grid.hdim, self.grid.dz,
                                        self.grid.dfzT[l - 1],
@@ -320,6 +322,18 @@ class Ocean:
             self.load_state_from_file()
         log.INFO(f"Ocean: initialized {n}x{m}x{l} grid, "
                  f"periodic={periodic}, ndim={self.grid.ndim}")
+
+    def _make_mixing(self):
+        """Vertical mixing / convective adjustment / neutral physics
+        operator (ATvS-Mix, reference mix_imp.f) bound to the current
+        landmask; None when 'Mixing' == 0."""
+        cfg = self.cfg
+        if cfg.vmix < 1:
+            return None
+        from .mixing import Mixing
+        return Mixing(self.grid, self.landm, vmix=cfg.vmix, tap=cfg.tap,
+                      rho_mixing=cfg.rho_mixing, alphaT=self._alphaT,
+                      periodic=cfg.periodic)
 
     # ------------------------------------------------------------------
     # jitted computational core
@@ -366,8 +380,14 @@ class Ocean:
             return assembly.boundaries(_lin(atoms_, par, fields, cpl)
                                        + Nl, landm, grid)
 
+        mixing = self.mixing
+
         def _rhs_from_parts(An, x, par, fields, cpl, int_correction):
             Au = apply_stencil(An, x, periodic=cfg.periodic)
+            if mixing is not None:
+                # F = An x + mix - Frc, the negated Fortran
+                # B = -Au - mix + Frc (usrc.F90 rhs)
+                Au = Au.at[TT:SS + 1].add(mixing.rhs(x, par))
             Frc = _frc(par, fields, cpl)
             # F = An x - Frc.  Frc is already zero on land
             # (boundary_frc_zero), and the land rows of An are identity
@@ -393,6 +413,12 @@ class Ocean:
             Al = _lin(atoms_, par, fields, cpl)
             An = assembly.nlin(Al, x, par, grid, landm, cfg.periodic,
                                jac=True)
+            if mixing is not None:
+                # mixing Jacobian inserted before boundary handling,
+                # exactly like vmix_jac in the reference's matrix()
+                # (usrc.F90:472-492: nlin_jac, vmix_jac, boundaries)
+                An = An.at[:, TT:SS + 1, TT:SS + 1].add(
+                    mixing.stencil(x, par))
             return assembly.boundaries(An, landm, grid)
 
         def _apply(An, v):
@@ -558,6 +584,7 @@ class Ocean:
         self.atoms = assembly.build_linear_atoms(
             self.grid, self.landm, ih=cfg.ih,
             coriolis_on=cfg.coriolis_on)
+        self.mixing = self._make_mixing()
         self.int_coeff = jnp.asarray(
             assembly.intcond_coeff(self.grid, self.landm))
         if cfg.sres == 0 and \
@@ -679,6 +706,50 @@ class Ocean:
                 self.set_par(name, val)
         log.INFO(f"Ocean: loaded state from {filename}")
         return 0
+
+    # -- stochastic forcing (rare-event / stochastic time stepping) ----
+    def compute_stochastic_forcing(self):
+        """Stochastic salinity-flux forcing map B (reference
+        stochastic_forcing, forcing.F90:220-268, assembled into a CRS
+        matrix by THCM::computeForcing, THCM.C:836-935): one white-noise
+        value per latitude row scales the deterministic freshwater-flux
+        forcing on the surface S rows (evaluated with the salinity
+        perturbation SPER switched off).
+
+        Returns ``apply(pert) -> (6, l, m, n)`` with ``apply.n_noise =
+        m``, the contract expected by transient.StochasticThetaModel.
+        Land surface rows are masked (the reference leaves the small
+        -salcor offset on land rows, which its identity rows ignore;
+        here the residual convention F_land = x requires clean zeros),
+        and the salinity-integral-condition row is excluded
+        (THCM.C:856-858).
+        """
+        cfg = self.cfg
+        if cfg.coupled_S == 1:
+            raise RuntimeError("stochastic forcing requires an ocean "
+                               "with uncoupled salinity (forcing.F90:238)")
+        l, m, n = cfg.l, cfg.m, cfg.n
+        par0 = self.par.at[c.SPER].set(0.0)
+        Frc = assembly.forcing(
+            par0, self.grid, self.landm, tres=cfg.tres, sres=cfg.sres,
+            its=cfg.its, ite=cfg.ite, iza=cfg.iza,
+            coupled_T=cfg.coupled_T, coupled_S=cfg.coupled_S,
+            forcing_type=cfg.forcing_type, cpl=self.cpl,
+            fields=self.fields, QTnd=self.QTnd, QSnd=self.QSnd)
+        surf = jnp.asarray(
+            1.0 - self.landm[l, 1:m + 1, 1:n + 1].astype(np.float64))
+        w = Frc[SS, l - 1] * surf                        # (m, n)
+        if cfg.sres == 0:
+            w = w.at[cfg.mic, cfg.nic].set(0.0)
+        zero = jnp.zeros((6, l, m, n))
+        _ap = jax.jit(lambda pert: zero.at[SS, l - 1].set(
+            w * pert[:, None]))
+
+        def apply(pert):
+            return _ap(pert)
+
+        apply.n_noise = m
+        return apply
 
     # -- hooks ---------------------------------------------------------
     def pre_process(self) -> None:

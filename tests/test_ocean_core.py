@@ -76,6 +76,9 @@ def _project(z, ocean):
     import numpy as _np
     Lp = _np.zeros((l, m + 1, n + 1), dtype=bool)
     Lp[:, :m, :n] = land
+    if ocean.grid.periodic:
+        # the east cell of the seam velocity point wraps to column 0
+        Lp[:, :m, n] = land[:, :, 0]
     uvzero = (Lp[:, :m, :n] | Lp[:, 1:, :n] | Lp[:, :m, 1:]
               | Lp[:, 1:, 1:])
     z = z.at[0:2].set(jnp.where(jnp.asarray(uvzero)[None], 0.0, z[0:2]))
@@ -141,14 +144,7 @@ def test_fd_jacobian_with_landmask():
     landm[1:3, 4:6, 4:6] = 1         # bottom topography
     grid = ocean.grid
     landm = lmk.finalize_mask(landm, grid, periodic=False)
-    ocean.landm = landm
-    ocean.atoms = __import__(
-        "iemic_tpu.models.ocean.assembly", fromlist=["x"]
-    ).build_linear_atoms(grid, landm, ih=0, coriolis_on=1)
-    ocean.int_coeff = jnp.asarray(__import__(
-        "iemic_tpu.models.ocean.assembly", fromlist=["x"]
-    ).intcond_coeff(grid, landm))
-    ocean._build_jitted()
+    ocean.set_land_mask(landm, finalized=True)
     ocean.set_par("Combined Forcing", 0.5)
     ocean.set_par("Temperature Forcing", 10.0)
     ocean.set_par("NLES", 0.2)
