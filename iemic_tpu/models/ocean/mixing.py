@@ -44,7 +44,13 @@ from ...grid import Grid
 from ...ops.stencil import TT, SS, OCEAN, PERIO, offsets
 from . import constants as c
 
-EPSLN = 1.0e-20
+# The reference guards zero denominators with 1e-20 (mix_imp.f epsln).
+# TPU f64 is emulated as an f32 pair whose exponent RANGE is f32's
+# (~3.4e38): drdh/1e-20 ~ 1e21 squared overflows to inf and poisons
+# the Jacobian with NaNs.  1e-15 keeps every intermediate (slp^2 up to
+# ~1e34) in range while only changing behavior for |drdz| < 1e-15,
+# where the taper output is indistinguishable from the limit anyway.
+EPSLN = 1.0e-15
 
 
 def _isoc(landm: np.ndarray) -> np.ndarray:
@@ -72,8 +78,13 @@ def tprslp(drdh, drdz, delta, tap: int):
     """Slope + taper (mix_imp.f:675-727).  delta = (r0dim/hdim)*SPL2;
     taper width = 1*delta.  Written with double-where guards so that
     forward-mode derivatives stay finite."""
-    drdz = jnp.where(drdz == 0.0, EPSLN, drdz)
-    slp = -drdh / drdz
+    # sign-preserving minimum magnitude (exact zero -> +EPSLN as in the
+    # reference's `if (drdz.eq.0.0) drdz = epsln`), plus a slope clamp:
+    # |slp| beyond ~delta is annihilated by every taper, and slp**2
+    # must stay inside the emulated-f64 exponent range (see EPSLN note)
+    drdz = jnp.where(jnp.abs(drdz) < EPSLN,
+                     jnp.where(drdz < 0.0, -EPSLN, EPSLN), drdz)
+    slp = jnp.clip(-drdh / drdz, -1.0e12, 1.0e12)
     absslp = jnp.abs(slp)
     if tap == 1:        # Gerdes et al. (1991)
         steep = absslp > delta
@@ -241,9 +252,13 @@ def mix_divergence(TS: jnp.ndarray, par: jnp.ndarray, geo: dict, *,
     Ftzt = -Ft / 4.0
     Fszt = -Fs / 4.0
 
-    # energetically consistent vertical mixing (eps term)
+    # energetically consistent vertical mixing (eps term); the
+    # denominator keeps a sign-preserving minimum magnitude for the
+    # emulated-f64 range (see EPSLN note)
     stb = tprstb(drhodzt[1:l + 1, jsl, isl], sp1, alphaT)
-    dsafe = drhodzt[1:l + 1, jsl, isl] - EPSLN
+    draw = drhodzt[1:l + 1, jsl, isl] - EPSLN
+    dsafe = jnp.where(jnp.abs(draw) < EPSLN,
+                      jnp.where(draw < 0.0, -EPSLN, EPSLN), draw)
     Ftzt = Ftzt + stb * eps * gtzc / dsafe
     Fszt = Fszt + stb * eps * gszc / dsafe
     Ftzt = jnp.concatenate([jnp.zeros((1, m, n), dtype), Ftzt], axis=0)

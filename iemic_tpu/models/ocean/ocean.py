@@ -124,6 +124,16 @@ def default_solver_params() -> ParameterList:
     # whenever the preconditioned system is very ill-conditioned; with
     # the column-block preconditioner Double is the robust default.
     p.set("Precision", "Double")
+    # f32 Krylov-loop matvec implementation: "auto" picks the Pallas
+    # stencil kernel on TPU backends and XLA elsewhere
+    p.set("Matvec kernel", "auto")
+    from ...solvers.factory import default_prec_params
+    sub = default_prec_params()
+    pp = ParameterList("Preconditioner")
+    for k, v in sub.items():
+        if k != "Method":   # the method comes from "Preconditioning"
+            pp.set(k, v)
+    p.set("Preconditioner", pp)
     return p
 
 
@@ -459,74 +469,133 @@ class Ocean:
         prec_type = self.solver_params.get("Preconditioning")
         precision = self.solver_params.get("Precision", "Mixed")
         self._deflator = None
+        self._prec_for = None      # Jacobian the cached factors match
+        self._prec_factors = None
+        self._prec_factors32 = None
 
-        from ...solvers.preconditioner import (build_column_blocks,
-                                               apply_column_prec)
+        # route every preconditioner through the SolverFactory (the
+        # reference constructs its Ifpack/ML/MRILU subsolvers the same
+        # way, TRIOS_SolverFactory.C:65-250); "Preconditioner" sublist
+        # carries the per-block options (inner iterations, saddlepoint
+        # scheme) like ocean_preconditioner_params.xml
+        from ...solvers import factory as sfactory
+        prec_params = dict(self.solver_params.sublist(
+            "Preconditioner").items()) \
+            if self.solver_params.is_sublist("Preconditioner") else {}
+        prec_params.setdefault("Method", prec_type)
+        self._prec_build, self._prec_apply = sfactory.make_preconditioner(
+            prec_params, landm=np.asarray(self.landm),
+            periodic=cfg.periodic, grid_shape=(cfg.l, cfg.m, cfg.n))
+        self._prec_host_only = (prec_params.get("Method") == "MILU")
 
-        def _make_prec(Binv, nullq_w, shape):
-            """Preconditioner closure in Binv's dtype."""
-            if prec_type == "Columns":
-                def pc(v):
-                    z = apply_column_prec(Binv,
-                                          v.reshape(shape)).reshape(-1)
-                    if nullq_w is not None:
-                        z = z - nullq_w @ (nullq_w.T @ z)
-                    return z
-            elif prec_type == "BGS":
-                def pc(v):
-                    z = bgs.apply(Binv, v.reshape(shape),
-                                  periodic=cfg.periodic).reshape(-1)
-                    if nullq_w is not None:
-                        z = z - nullq_w @ (nullq_w.T @ z)
-                    return z
-            else:
-                def pc(v):
-                    return v
+        prec_apply = self._prec_apply
+
+        def _pc(factors, nullq_w, shape):
+            def pc(v):
+                z = prec_apply(factors, v.reshape(shape)).reshape(-1)
+                if nullq_w is not None:
+                    z = z - nullq_w @ (nullq_w.T @ z)
+                return z
             return pc
 
-        landm_np = np.asarray(self.landm)
+        # the f32 Krylov-loop matvec: the Pallas stencil kernel on TPU
+        # backends, the XLA path elsewhere ("Matvec kernel" = auto/
+        # pallas/xla); the kernel needs An pre-permuted (prepare), done
+        # once per Jacobian alongside the preconditioner factors
+        kernel_choice = self.solver_params.get("Matvec kernel", "auto")
+        use_pallas = (kernel_choice == "pallas"
+                      or (kernel_choice == "auto"
+                          and jax.default_backend() in ("tpu", "axon")))
+        self._use_pallas = use_pallas
+        if use_pallas:
+            from ...ops.stencil_pallas import (prepare as pallas_prepare,
+                                               apply_stencil_prepared)
+            self._pallas_prepare = pallas_prepare
 
-        def _solve(An, b, tol, nullq):
-            flat_b = b.reshape(-1)
-            # factor the preconditioner in f64 — the blocks are far too
-            # ill-conditioned for an f32 inverse — then cast the
-            # *factors* down for the f32 Krylov loop
-            if prec_type == "Columns":
-                Binv = build_column_blocks(An)
-            elif prec_type == "BGS":
-                Binv = bgs.build(An, landm_np, periodic=cfg.periodic)
-            else:
-                Binv = None
+            def _mv32_impl(AnK32, v):
+                y = apply_stencil_prepared(AnK32, v,
+                                           periodic=cfg.periodic)
+                if cfg.sres == 0:
+                    intval = jnp.vdot(int_coeff.astype(v.dtype), v)
+                    y = y.at[ir].set(
+                        (cfg.int_sign * intval).astype(y.dtype))
+                return y
+        else:
+            self._pallas_prepare = None
+
+            def _mv32_impl(AnK32, v):
+                return _apply(AnK32, v)
+
+        def _solve(An, AnK32, factors, factors32, b, tol, nullq):
+            # Deflate the pressure null modes from the operator and the
+            # rhs, not just the preconditioner output: J is singular
+            # along them, and a long Krylov run on the singular system
+            # grows unbounded gauge components (the role of the
+            # reference's pressureProjection / pressure-point fixes,
+            # Ocean.H:413, THCM.C:2846-2888).
+            def proj(v, Q):
+                return v if Q is None else v - Q @ (Q.T @ v)
+
+            flat_b = proj(b.reshape(-1), nullq)
 
             def mv(v):
-                return self._apply_impl(An, v.reshape(b.shape)).reshape(-1)
+                return proj(self._apply_impl(
+                    An, v.reshape(b.shape)).reshape(-1), nullq)
 
             if precision == "Mixed":
                 # f32 Krylov + f64 refinement (fgmres._fgmres_ir_flat)
-                An32 = An.astype(jnp.float32)
                 nullq32 = (nullq.astype(jnp.float32)
                            if nullq is not None else None)
 
                 def mv32(v):
-                    return self._apply_impl(
-                        An32, v.reshape(b.shape)).reshape(-1)
+                    return proj(_mv32_impl(
+                        AnK32, v.reshape(b.shape)).reshape(-1), nullq32)
 
-                Binv32 = None if Binv is None else jax.tree.map(
-                    lambda a: a.astype(jnp.float32), Binv)
-                pc32 = _make_prec(Binv32, nullq32, b.shape)
+                pc32 = _pc(factors32, nullq32, b.shape)
                 res = _fgmres_ir_flat(mv, mv32, pc32, flat_b,
                                       jnp.zeros_like(flat_b),
                                       jnp.asarray(tol, flat_b.dtype),
                                       maxiter)
             else:
-                pc = _make_prec(Binv, nullq, b.shape)
+                pc = _pc(factors, nullq, b.shape)
                 res = _fgmres_flat(mv, pc, flat_b,
                                    jnp.zeros_like(flat_b),
                                    jnp.asarray(tol, flat_b.dtype),
                                    maxiter)
-            return res.x.reshape(b.shape), res.iters, res.relres
+            x = proj(res.x, nullq)
+            return x.reshape(b.shape), res.iters, res.relres
 
-        self._solve_fn = jax.jit(_solve, static_argnames=())
+        self._solve_fn = jax.jit(_solve)
+        self._precision = precision
+        self._maxiter = maxiter
+
+    def _get_prec_factors(self):
+        """Build (or reuse) the preconditioner factors for the current
+        Jacobian — the reference rebuilds its BlockPreconditioner once
+        per Jacobian and reuses it across the two bordered solves of a
+        Newton iteration (Ocean.C:1360-1375)."""
+        if self._prec_for is not self.jac:
+            with log.timer("Ocean: build preconditioner"):
+                self._prec_factors = self._prec_build(self.jac)
+                if self._precision == "Mixed" and \
+                        not self._prec_host_only:
+                    # factor in f64 (the blocks are too ill-conditioned
+                    # for an f32 factorization), run in f32
+                    self._prec_factors32 = jax.tree.map(
+                        lambda a: a.astype(jnp.float32)
+                        if hasattr(a, "astype") else a,
+                        self._prec_factors)
+                else:
+                    self._prec_factors32 = self._prec_factors
+                if self._precision == "Mixed":
+                    self._jacK32 = (self._pallas_prepare(self.jac)
+                                    if self._use_pallas
+                                    else self.jac.astype(jnp.float32))
+                else:
+                    # unused in the Double path; keep a zero-size token
+                    self._jacK32 = jnp.zeros((0,), jnp.float32)
+                self._prec_for = self.jac
+        return self._prec_factors, self._prec_factors32
 
     def _get_deflator(self):
         """Orthonormal basis of validated pressure null modes
@@ -637,8 +706,31 @@ class Ocean:
             self.compute_jacobian()
         tol = self.solver_params.get("FGMRES tolerance")
         nullq = self._get_deflator()
+        factors, factors32 = self._get_prec_factors()
+        if self._prec_host_only:
+            # MILU factors live on the host (ctypes handles) — drive
+            # FGMRES from the host like the reference's
+            # AdditiveSchwarz-MRILU path (src/mrilucpp/)
+            from ...solvers.fgmres import fgmres_host
+            shape = b.shape
+            with log.timer("Ocean: solve"):
+                x, res = fgmres_host(
+                    lambda v: self._apply_fn(
+                        self.jac, v.reshape(shape)).reshape(-1),
+                    b,
+                    prec=lambda r: self._prec_apply(
+                        factors, r.reshape(shape)).reshape(-1),
+                    tol=tol, maxiter=self._maxiter)
+            self.sol = x.reshape(shape)
+            self.solve_iters = int(res.iters)
+            self.solve_relres = float(res.relres)
+            log.track_iterations("Ocean: FGMRES iterations",
+                                 self.solve_iters)
+            return self.sol
         with log.timer("Ocean: solve"):
-            x, iters, relres = self._solve_fn(self.jac, b, tol, nullq)
+            x, iters, relres = self._solve_fn(self.jac, self._jacK32,
+                                              factors, factors32, b,
+                                              tol, nullq)
             x.block_until_ready()
         self.sol = x
         self.solve_iters = int(iters)

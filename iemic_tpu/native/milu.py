@@ -30,10 +30,22 @@ def _load():
             return _LIB
         so = os.path.join(_NATIVE_DIR, "libmilu.so")
         src = os.path.join(_NATIVE_DIR, "milu.cpp")
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+        # Rebuild whenever the .so is missing or the source content
+        # changed (content hash, not mtimes — a fresh clone has
+        # arbitrary mtimes and must never load a stale/foreign binary).
+        import hashlib
+        with open(src, "rb") as f:
+            want = hashlib.sha256(f.read()).hexdigest()
+        stamp = os.path.join(_NATIVE_DIR, ".milu.sha256")
+        have = None
+        if os.path.exists(stamp):
+            with open(stamp) as f:
+                have = f.read().strip()
+        if not os.path.exists(so) or have != want:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True)
+            with open(stamp, "w") as f:
+                f.write(want)
         lib = ctypes.CDLL(so)
         lib.milu_factor.restype = ctypes.c_int64
         lib.milu_factor.argtypes = [

@@ -2,21 +2,32 @@
 
 The hot op of every Newton-Krylov iteration is y = An*x with
 An (27, 6, 6, l, m, n): 972 coefficient planes of (m, n) streamed from
-HBM — strictly memory-bound.  This kernel streams An through VMEM
-exactly once, double-buffered by the Pallas pipeline over a (l, 27)
-grid, and accumulates the 6x6 variable block per stencil location on
-the VPU.  The 27 shifted windows of x (162 planes, ~17% of the An
-traffic) are produced by XLA slicing outside the kernel — Mosaic
-cannot vector-load at dynamic lane offsets, and x-traffic is not the
-bottleneck.
+HBM — strictly memory-bound.  Design (measured on the bench chip,
+whose sustained HBM bandwidth calibrates to ~270 GB/s r+w via a pure
+scale-copy, far below the v5e paper number):
 
-Mosaic has no f64, so this kernel runs in f32 (or bf16 coefficients
-with f32 accumulation).  That makes it the *mixed-precision* hot path:
-outer Newton-Krylov stays f64 (XLA), while preconditioner applications
-and eigensolver matvecs — which only need a few correct digits — ride
-this kernel at 2-4x the effective HBM bandwidth.  (The reference is
-f64-only; mixed precision is part of the TPU-native redesign, SURVEY
-§7 hard part 4.)
+  * An is pre-permuted once per Jacobian into dk-major offset order
+    (``prepare``), so the grid (l, dk, q) addresses it with purely
+    affine index maps (Mosaic stalls on div/mod index maps).
+  * x is NOT expanded into 27 windows (the round-1 kernel did, adding
+    ~190 MB of traffic per matvec); instead 9 horizontally-shifted
+    copies of the padded field (~38 MB) are built by XLA and the
+    vertical shift rides the block index ``k + dk``, so the kernel
+    body is a pure 6x6 VPU multiply-accumulate with no in-kernel
+    shifting at all.
+  * Coefficients may be stored bf16 (f32 accumulation) to halve the
+    dominant An traffic — used for preconditioner-internal matvecs
+    where 3 significant digits suffice.
+
+Measured inside a jitted loop (the FGMRES use case) this kernel is
+~5x faster than the round-1 windows kernel and runs at ~70% of the
+chip's measured copy roofline in f32.
+
+Mosaic has no f64, so this is the *mixed-precision* hot path: outer
+Newton-Krylov stays f64 (XLA), while the Krylov-loop operator and
+preconditioner applications ride this kernel (fgmres._fgmres_ir_flat).
+(The reference is f64-only; mixed precision is part of the TPU-native
+redesign, SURVEY §7 hard part 4.)
 
 Reference semantics being reproduced: CSR SpMV on the assembled
 stencil (matetc.F90:147-166 matAvec; assembly from the dependency
@@ -27,6 +38,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -34,29 +46,87 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import offsets, pad_state, NP
 
+NUN = 6
 _OFFS = offsets()
 
+# dk-major permutation: slot (dk+1)*9 + q holds the offset with
+# vertical shift dk and horizontal shift q = 3*(di+1) + (dj+1)
+_PERM = np.zeros(NP, np.int64)
+for _p in range(NP):
+    _di, _dj, _dk = _OFFS[_p]
+    _PERM[(_dk + 1) * 9 + 3 * (_di + 1) + (_dj + 1)] = _p
 
-def _kernel(an_ref, w_ref, y_ref):
-    """Grid (l, NP).  Blocks:
-      an_ref : (1, NUN, NUN, 1, m, n)  — An[p, :, :, k]
-      w_ref  : (1, NUN, 1, m, n)       — shifted window p of x at k
-      y_ref  : (NUN, 1, m, n)          — accumulated output plane k
+
+def prepare(An: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Permute An into the kernel's dk-major offset order and cast to
+    the kernel coefficient dtype (f32 or bf16).  One full pass over An;
+    do this once per Jacobian, not per matvec."""
+    return An[_PERM].astype(dtype)
+
+
+def _kernel(an_ref, xs_ref, y_ref):
+    """Grid (l, 3, 9).  Blocks:
+      an_ref : (1, NUN, NUN, 1, m, n) — prepared An[9*dk+q, :, :, k]
+      xs_ref : (1, NUN, 1, m, n)      — shift q of x at plane k+dk
+      y_ref  : (NUN, 1, m, n)         — accumulated output plane k
     """
-    p = pl.program_id(1)
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
-    @pl.when(p == 0)
+    @pl.when(first)
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    an = an_ref[0, :, :, 0].astype(jnp.float32)   # (NUN, NUN, m, n)
-    xw = w_ref[0, :, 0]                            # (NUN, m, n)
-    # 6x6 variable block as unrolled VPU multiply-accumulates (Mosaic
-    # has no batched-dot lowering for pointwise-matrix contractions)
-    acc = an[:, 0] * xw[0][None]
-    for B in range(1, xw.shape[0]):
-        acc += an[:, B] * xw[B][None]
-    y_ref[:] += acc[:, None, :, :]
+    an = an_ref[0, :, :, 0]                  # (NUN, NUN, m, n)
+    xw = xs_ref[0, :, 0]                     # (NUN, m, n)
+    acc = an[:, 0].astype(jnp.float32) * xw[0][None]
+    for B in range(1, NUN):
+        acc += an[:, B].astype(jnp.float32) * xw[B][None]
+    y_ref[:] += acc[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("periodic", "interpret"))
+def apply_stencil_prepared(AnK: jnp.ndarray, x: jnp.ndarray, *,
+                           periodic: bool,
+                           interpret: bool = False) -> jnp.ndarray:
+    """y[A] = sum_{p,B} An[p,A,B] * shift_p(x[B]) with AnK from
+    :func:`prepare`.  f32 output; matches ops.stencil.apply_stencil to
+    the coefficient working precision."""
+    nun, l, m, n = x.shape
+    x = x.astype(jnp.float32)
+    xp = pad_state(x, periodic)              # (NUN, l+2, m+2, n+2)
+    # 9 horizontally shifted copies; the vertical shift is the block
+    # index k + dk (no in-kernel shifting, no 27-window materialization)
+    xs = jnp.stack([xp[:, :, 1 + dj:1 + dj + m, 1 + di:1 + di + n]
+                    for q in range(9)
+                    for (di, dj) in [(q // 3 - 1, q % 3 - 1)]])
+
+    adt = jnp.dtype(AnK.dtype).itemsize
+    return pl.pallas_call(
+        _kernel,
+        grid=(l, 3, 9),
+        in_specs=[
+            # q*0: index-map zeros must derive from an i32 grid index
+            # (under x64 a literal 0 traces i64 and Mosaic rejects it)
+            pl.BlockSpec((1, NUN, NUN, 1, m, n),
+                         lambda k, d, q: (d * np.int32(9) + q, q * 0,
+                                          q * 0, k, q * 0, q * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NUN, 1, m, n),
+                         lambda k, d, q: (q, q * 0, k + d, q * 0, q * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NUN, 1, m, n),
+                               lambda k, d, q: (q * 0, k, q * 0, q * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NUN, l, m, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * NP * NUN * NUN * l * m * n,
+            bytes_accessed=(NP * NUN * NUN * l * m * n * adt
+                            + 2 * 9 * NUN * (l + 2) * m * n * 4
+                            + NUN * l * m * n * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(AnK, xs)
 
 
 @functools.partial(jax.jit,
@@ -64,44 +134,9 @@ def _kernel(an_ref, w_ref, y_ref):
 def apply_stencil_pallas(An: jnp.ndarray, x: jnp.ndarray, *,
                          periodic: bool, interpret: bool = False,
                          dtype=jnp.float32) -> jnp.ndarray:
-    """y[A] = sum_{p,B} An[p,A,B] * shift_p(x[B]) on the TPU VPU.
-
-    f32 (or bf16-coefficient) fast path; cast f64 inputs down outside
-    the double-precision Krylov loop.  Matches
-    ops.stencil.apply_stencil to the working precision.
-    """
-    nun, l, m, n = x.shape
-    An = An.astype(dtype)
-    x = x.astype(jnp.float32)
-
-    xp = pad_state(x, periodic)
-    windows = jnp.stack([
-        xp[:, 1 + dk:1 + dk + l, 1 + dj:1 + dj + m, 1 + di:1 + di + n]
-        for (di, dj, dk) in _OFFS
-    ])  # (NP, nun, l, m, n)
-
-    y = pl.pallas_call(
-        _kernel,
-        grid=(l, NP),
-        in_specs=[
-            # zeros derived from the i32 grid index: under x64, literal
-            # 0 traces as i64 and Mosaic rejects the mixed-type index map
-            pl.BlockSpec((1, nun, nun, 1, m, n),
-                         lambda k, p: (p, p * 0, p * 0, k, p * 0, p * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nun, 1, m, n),
-                         lambda k, p: (p, p * 0, k, p * 0, p * 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nun, 1, m, n),
-                               lambda k, p: (p * 0, k, p * 0, p * 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nun, l, m, n), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * NP * nun * nun * l * m * n,
-            bytes_accessed=(An.size * An.dtype.itemsize
-                            + windows.size * 4 + nun * l * m * n * 4),
-            transcendentals=0),
-        interpret=interpret,
-    )(An, windows)
-    return y
+    """Convenience wrapper: prepare + apply in one call.  Prefer
+    calling :func:`prepare` once per Jacobian and
+    :func:`apply_stencil_prepared` per matvec — the permutation is a
+    full extra pass over An."""
+    return apply_stencil_prepared(prepare(An, dtype), x,
+                                  periodic=periodic, interpret=interpret)

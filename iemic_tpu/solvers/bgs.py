@@ -94,10 +94,11 @@ def _column_tridiag_solve(diag, down, up, b, *, eps=1e-12):
     dummy = dg < 1e-6 * blockscale[:, None]
     dummyf = dummy.astype(T.dtype)
     T = T * (1.0 - dummyf)[:, :, None]                   # zero the row
-    T = T + jnp.einsum('bi,ij->bij', dummyf, jnp.eye(d))
+    T = T + jnp.einsum('bi,ij->bij', dummyf, jnp.eye(d, dtype=T.dtype))
     bc = b.transpose(2, 3, 1, 0).reshape(m * n, d)       # (k, var) order
     bc = jnp.where(dummy, 0.0, bc)
-    x = jnp.linalg.solve(T, bc[..., None]).squeeze(-1)
+    from ..ops.batched_linalg import solve as _bsolve
+    x = _bsolve(T, bc)
     return x.reshape(m, n, l, nv).transpose(3, 2, 0, 1)
 
 
@@ -131,6 +132,10 @@ class BGSPrec(NamedTuple):
     ts_binv: jnp.ndarray      # (m*n, 2l, 2l) ATS column-block inverses
     svp: jnp.ndarray          # (2, l, m, n) pressure null modes
     sv2d: jnp.ndarray         # (2, m, n) barotropic null modes of Spp
+    dir_mask: jnp.ndarray     # (6, l, m, n) 1.0 on pure-diagonal rows
+    dir_diag: jnp.ndarray     # (6, l, m, n) their diagonal values
+    spp_simple: object = None  # SppSimple factors when the saddlepoint
+    #                            scheme is SI/SL/SR (TRIOS_Saddlepoint)
 
 
 def _column_block_inv(An, vars_idx, *, eps=1e-12):
@@ -151,16 +156,22 @@ def _column_block_inv(An, vars_idx, *, eps=1e-12):
     rowmax = jnp.max(jnp.abs(B), axis=2)
     dummy = (rowmax < eps).astype(B.dtype)
     B = B + jnp.einsum('bi,ij->bij', dummy, jnp.eye(d, dtype=B.dtype))
-    return jnp.linalg.inv(B)
+    from ..ops.batched_linalg import inv as _binv
+    return _binv(B)
 
 
 def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
-          dzw=None) -> BGSPrec:
+          dzw=None, spp_scheme: str = "KRYLOV") -> BGSPrec:
     """Factor the preconditioner from the stencil tensor.
 
     landm: padded (l+2, m+2, n+2) land mask (for the checkerboard
     pressure modes); dzw: optional (l,) layer weights for the depth
-    average (defaults to uniform).
+    average (defaults to uniform); spp_scheme: "KRYLOV" solves the
+    depth-averaged saddle point with point-block-Jacobi FGMRES, while
+    "SI"/"SL"/"SR" precondition that inner Krylov with the SIMPLE-type
+    schemes of :mod:`.saddlepoint` (the reference's 'Saddlepoint
+    scheme' option, TRIOS_Saddlepoint.H:28-95 + the AztecOO-on-Spp
+    setup in TRIOS_BlockPreconditioner.C:404-450).
     """
     _, nun, _, l, m, n = An.shape
 
@@ -182,8 +193,9 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
     D = D + scale * ee[:, None] * ee[None, :]
     rowmax = jnp.max(jnp.abs(D), axis=2)
     dummy = (rowmax < 1e-12).astype(D.dtype)
-    D = D + jnp.einsum('bi,ij->bij', dummy, jnp.eye(3))
-    Spp_binv = jnp.linalg.inv(D)
+    D = D + jnp.einsum('bi,ij->bij', dummy, jnp.eye(3, dtype=D.dtype))
+    from ..ops.batched_linalg import inv as _binv2
+    Spp_binv = _binv2(D)
 
     uv_binv = _column_block_inv(An, _UV)
     ts_binv = _column_block_inv(An, _TS)
@@ -208,9 +220,31 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
         c2 / jnp.maximum(jnp.linalg.norm(c2), 1e-300),
         cb2 / jnp.maximum(jnp.linalg.norm(cb2), 1e-300)])
 
+    spp_simple = None
+    if spp_scheme in ("SI", "SL", "SR"):
+        from .saddlepoint import build_simple
+        spp_simple = build_simple(Spp, sv2d, periodic=periodic)
+
+    # Dirichlet / identity rows (land cells, rigid-lid surface w,
+    # east/north wall u,v): the sweep never produces output there, so
+    # the apply must pass the residual straight through — the
+    # reference's dummy-row identity treatment
+    # (TRIOS_BlockPreconditioner.C:478-487).  Without this the
+    # preconditioned operator is singular along every Dirichlet row
+    # and long Krylov runs blow up in those directions.
+    diag = jnp.stack([An[4, a, a] for a in range(nun)])    # (6,l,m,n)
+    offsum = jnp.sum(jnp.abs(An), axis=(0, 2)) - jnp.abs(diag)
+    # rows whose only significant entry is the center diagonal (the
+    # surface-w rows keep 1e-10 'weak link' stubs, boundary.F90:169-177,
+    # hence the loose relative threshold)
+    dir_mask = ((jnp.abs(diag) > 0.0)
+                & (offsum <= 1e-6 * jnp.abs(diag))).astype(An.dtype)
+    dir_diag = jnp.where(dir_mask > 0, diag, 1.0)
+
     return BGSPrec(An=An, Spp=Spp, Spp_binv=Spp_binv,
                    uv_binv=uv_binv, ts_binv=ts_binv, svp=svp,
-                   sv2d=sv2d)
+                   sv2d=sv2d, dir_mask=dir_mask, dir_diag=dir_diag,
+                   spp_simple=spp_simple)
 
 
 def _apply_col_inv(binv, r):
@@ -230,10 +264,10 @@ def _inner_fgmres(matvec, prec, b, tol, maxiter):
 
 
 @partial(jax.jit, static_argnames=("periodic", "nit_spp", "nit_uv",
-                                   "nit_ts"))
+                                   "nit_ts", "spp_scheme"))
 def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
           nit_spp: int = 40, nit_uv: int = 8,
-          nit_ts: int = 8) -> jnp.ndarray:
+          nit_ts: int = 8, spp_scheme: str = "KRYLOV") -> jnp.ndarray:
     """One block-GS sweep z ~= J^{-1} r (SolveLower-style)."""
     An = prec.An
     _, nun, _, l, m, n = An.shape
@@ -258,17 +292,28 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
         return _apply_2d(prec.Spp, v.reshape(3, m, n),
                          periodic).reshape(-1)
 
-    def spp_pc(v):
-        z = jnp.einsum('bij,bj->bi', prec.Spp_binv,
-                       v.reshape(3, m, n).transpose(1, 2, 0)
-                       .reshape(m * n, 3))
-        z = z.reshape(m, n, 3).transpose(2, 0, 1)
-        # deflate the barotropic pressure null modes (const +
-        # checkerboard) so the inner Krylov never grows them
-        for q in range(2):
-            sv = prec.sv2d[q]
-            z = z.at[2].add(-jnp.vdot(sv, z[2]) * sv)
-        return z.reshape(-1)
+    if spp_scheme in ("SI", "SL", "SR") and prec.spp_simple is not None:
+        from .saddlepoint import apply_simple
+
+        def spp_pc(v):
+            z = apply_simple(prec.spp_simple, v.reshape(3, m, n),
+                             periodic=periodic, scheme=spp_scheme)
+            for q in range(2):
+                sv = prec.sv2d[q]
+                z = z.at[2].add(-jnp.vdot(sv, z[2]) * sv)
+            return z.reshape(-1)
+    else:
+        def spp_pc(v):
+            z = jnp.einsum('bij,bj->bi', prec.Spp_binv,
+                           v.reshape(3, m, n).transpose(1, 2, 0)
+                           .reshape(m * n, 3))
+            z = z.reshape(m, n, 3).transpose(2, 0, 1)
+            # deflate the barotropic pressure null modes (const +
+            # checkerboard) so the inner Krylov never grows them
+            for q in range(2):
+                sv = prec.sv2d[q]
+                z = z.at[2].add(-jnp.vdot(sv, z[2]) * sv)
+            return z.reshape(-1)
 
     zbar = _inner_fgmres(spp_mv, spp_pc, rbar, 1e-2, nit_spp)
     zbar = zbar.reshape(3, m, n)
@@ -319,4 +364,7 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
     z = z.at[UU].set(yuv[0]).at[VV].set(yuv[1])
     z = z.at[WW].set(yw[0]).at[PP].set(yp[0])
     z = z.at[TT].set(yts[0]).at[SS].set(yts[1])
+    # identity action on Dirichlet rows (see build): z_i = r_i / a_ii
+    dm = prec.dir_mask
+    z = z * (1.0 - dm) + dm * r / prec.dir_diag
     return z

@@ -90,23 +90,31 @@ def make_preconditioner(params: ParameterList | dict | None, *,
         nit_spp = params.get("Saddlepoint iterations")
         nit_uv = params.get("Auv iterations")
         nit_ts = params.get("ATS iterations")
+        scheme = params.get("Saddlepoint scheme")
 
         def build(An):
-            return bgs.build(An, landm, periodic=periodic)
+            return bgs.build(An, landm, periodic=periodic,
+                             spp_scheme=scheme)
 
         def apply(fac, r):
             return bgs.apply(fac, r, periodic=periodic,
                              nit_spp=nit_spp, nit_uv=nit_uv,
-                             nit_ts=nit_ts)
+                             nit_ts=nit_ts, spp_scheme=scheme)
 
         return build, apply
 
     if method == "MILU":
+        # host-side factorization/apply (ctypes into native/libmilu.so,
+        # like the reference's Fortran MRILU behind Ifpack_MRILU):
+        # build() must run eagerly, and apply() crosses to the host via
+        # jax.pure_callback so it stays usable inside a jitted Krylov
+        # loop (at the cost of a device<->host round trip per apply).
         from ..native import milu
         droptol = params.get("MILU drop tolerance")
         maxlev = params.get("MILU max levels")
         fill = params.get("MILU fill factor")
         from ..ops.stencil import stencil_to_csr, to_flat, from_flat
+        import jax
 
         def build(An):
             data, indices, indptr = stencil_to_csr(
@@ -116,8 +124,15 @@ def make_preconditioner(params: ParameterList | dict | None, *,
                                fill_factor=fill)
 
         def apply(fac, r):
-            z = milu.solve(fac, np.asarray(to_flat(r)))
-            return from_flat(jnp.asarray(z), l, m, n)
+            def host_solve(rf):
+                return milu.solve(fac, np.asarray(rf, np.float64)) \
+                    .astype(rf.dtype)
+
+            flat = to_flat(r)
+            z = jax.pure_callback(
+                host_solve,
+                jax.ShapeDtypeStruct(flat.shape, flat.dtype), flat)
+            return from_flat(z, l, m, n)
 
         return build, apply
 
@@ -164,7 +179,7 @@ def spectrum_analysis(matvec: Callable, prec: Callable, N: int, *,
     H = np.zeros((k + 1, k))
     v0 = rng.standard_normal(N)
     V[:, 0] = v0 / np.linalg.norm(v0)
-    j = 0
+    ncols = 0
     for j in range(k):
         w = np.asarray(prec(jnp.asarray(
             np.asarray(matvec(jnp.asarray(V[:, j]))).reshape(-1)
@@ -173,12 +188,12 @@ def spectrum_analysis(matvec: Callable, prec: Callable, N: int, *,
             H[i, j] = V[:, i] @ w
             w = w - H[i, j] * V[:, i]
         H[j + 1, j] = np.linalg.norm(w)
+        ncols = j + 1
         if H[j + 1, j] < 1e-12:
-            j += 1
             break
         V[:, j + 1] = w / H[j + 1, j]
-    ritz = np.linalg.eigvals(H[:j, :j])
-    log.INFO(f"spectrum_analysis: {j} Ritz values, "
+    ritz = np.linalg.eigvals(H[:ncols, :ncols])
+    log.INFO(f"spectrum_analysis: {ncols} Ritz values, "
              f"|lambda| in [{np.abs(ritz).min():.2e}, "
              f"{np.abs(ritz).max():.2e}]")
     return ritz

@@ -63,7 +63,8 @@ def build_column_blocks(An: jnp.ndarray, *, eps: float = 1e-8
     scale = jnp.max(jnp.abs(B), axis=(1, 2), keepdims=True)
     B = B + jnp.maximum(scale, 1.0) * e[:, None] * e[None, :]
     B = B + eps * jnp.eye(d)
-    return jnp.linalg.inv(B)
+    from ..ops.batched_linalg import inv as _binv
+    return _binv(B)
 
 
 def apply_column_prec(Binv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:

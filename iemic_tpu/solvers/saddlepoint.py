@@ -20,9 +20,10 @@ AztecOO+Ifpack, everything here stays a 2D stencil tensor:
     *symbolically* at build time: two 9-point stencils contract to one
     25-point (5x5) stencil, 81 shifted plane products — the TPU analog
     of the reference's sparse matrix-matrix product forming Chat;
-  * Chat solves run Chebyshev-accelerated point-Jacobi (matrix-free,
-    fuses to VPU work) instead of AztecOO/Ifpack, with the constant /
-    checkerboard barotropic null modes deflated (the dummy-row fixes).
+  * Chat solves run a short point-Jacobi-preconditioned FGMRES
+    (matrix-free, fuses to VPU work) instead of AztecOO/Ifpack, with
+    the constant / checkerboard barotropic null modes deflated (the
+    dummy-row fixes).
 
 Schemes (reference TRIOS_Saddlepoint.H:28-95):
   'SI' (SIMPLE):  u* = Â⁻¹ r_u;  solve Chat dp = D u* − r_p;
@@ -78,7 +79,6 @@ class SppSimple(NamedTuple):
     Spp: jnp.ndarray        # (9, 3, 3, m, n) the saddle operator
     auv_inv: jnp.ndarray    # (2, 2, m, n) pointwise momentum inverse
     chat: jnp.ndarray       # (25, m, n) composed pressure Schur stencil
-    lam_hi: jnp.ndarray     # Chebyshev upper spectral bound of D_C^-1 C
     chat_dinv: jnp.ndarray  # (m, n) inverse diagonal of chat
     nullmodes: jnp.ndarray  # (2, m, n) barotropic pressure null modes
 
@@ -135,21 +135,8 @@ def build_simple(Spp: jnp.ndarray, sv2d: jnp.ndarray, *,
                                                     axis=0), 1e-30)
     chat_dinv = jnp.where(okc, 1.0 / jnp.where(okc, dC, 1.0), 1.0)
 
-    # Chebyshev bound via a few power iterations on D_C^{-1} C
-    key = jax.random.PRNGKey(7)
-    v = jax.random.normal(key, (m, n), Spp.dtype)
-
-    def power(v, _):
-        w = chat_dinv * apply_stencil_2d(chat, _OFFS25, v, periodic)
-        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30), None
-
-    v, _ = jax.lax.scan(power, v, None, length=8)
-    w = chat_dinv * apply_stencil_2d(chat, _OFFS25, v, periodic)
-    lam_hi = jnp.maximum(jnp.abs(jnp.vdot(v, w)), 1e-8) * 1.05
-
     return SppSimple(Spp=Spp, auv_inv=auv_inv, chat=chat,
-                     lam_hi=lam_hi, chat_dinv=chat_dinv,
-                     nullmodes=sv2d)
+                     chat_dinv=chat_dinv, nullmodes=sv2d)
 
 
 def _deflate(x: jnp.ndarray, modes: jnp.ndarray) -> jnp.ndarray:

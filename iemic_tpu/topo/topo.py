@@ -141,7 +141,27 @@ class Topo:
         # pressure null modes of J_B stay null for every delta: the
         # relaxation term facA*M vanishes on p rows/columns
         nullq = m._get_deflator()
-        x, iters, relres = m._solve_fn(self.jac, b, tol, nullq)
+        # factor the preconditioner for the *blended* tensor, cached on
+        # its identity like Ocean._get_prec_factors
+        if getattr(self, "_prec_for", None) is not self.jac:
+            self._prec_factors = m._prec_build(self.jac)
+            if m._precision == "Mixed" and not m._prec_host_only:
+                import jax
+                self._prec_factors32 = jax.tree.map(
+                    lambda a: a.astype(jnp.float32)
+                    if hasattr(a, "astype") else a, self._prec_factors)
+            else:
+                self._prec_factors32 = self._prec_factors
+            self._jacK32 = (m._pallas_prepare(self.jac)
+                            if m._use_pallas and m._precision == "Mixed"
+                            else (self.jac.astype(jnp.float32)
+                                  if m._precision == "Mixed"
+                                  else jnp.zeros((0,), jnp.float32)))
+            self._prec_for = self.jac
+        x, iters, relres = m._solve_fn(self.jac, self._jacK32,
+                                       self._prec_factors,
+                                       self._prec_factors32, b, tol,
+                                       nullq)
         self.sol = x
         m.sol = x
         m.solve_iters = int(iters)
