@@ -512,21 +512,26 @@ class Ocean:
                                                apply_stencil_prepared)
             self._pallas_prepare = pallas_prepare
 
-            def _mv32_impl(AnK32, v):
+            def _mv32_impl(AnK32, v, r_int32):
                 y = apply_stencil_prepared(AnK32, v,
                                            periodic=cfg.periodic)
                 if cfg.sres == 0:
                     intval = jnp.vdot(int_coeff.astype(v.dtype), v)
                     y = y.at[ir].set(
-                        (cfg.int_sign * intval).astype(y.dtype))
+                        (r_int32 * cfg.int_sign * intval).astype(y.dtype))
                 return y
         else:
             self._pallas_prepare = None
 
-            def _mv32_impl(AnK32, v):
-                return _apply(AnK32, v)
+            def _mv32_impl(AnK32, v, r_int32):
+                y = apply_stencil(AnK32, v, periodic=cfg.periodic)
+                if cfg.sres == 0:
+                    intval = jnp.vdot(int_coeff.astype(v.dtype), v)
+                    y = y.at[ir].set(
+                        (r_int32 * cfg.int_sign * intval).astype(y.dtype))
+                return y
 
-        def _solve(An, AnK32, factors, factors32, b, tol, nullq):
+        def _solve(An, AnK32, factors, factors32, b, tol, nullq, r_int):
             # Deflate the pressure null modes from the operator and the
             # rhs, not just the preconditioner output: J is singular
             # along them, and a long Krylov run on the singular system
@@ -538,9 +543,20 @@ class Ocean:
 
             flat_b = proj(b.reshape(-1), nullq)
 
+            def _apply_rs(A, v, ri):
+                """Stencil action with the integral-condition row
+                replacement scaled by the row factor ri (A may be the
+                row-scaled tensor, Ocean::scaleProblem)."""
+                y = apply_stencil(A, v, periodic=cfg.periodic)
+                if cfg.sres == 0:
+                    intval = jnp.vdot(int_coeff.astype(v.dtype), v)
+                    y = y.at[ir].set(
+                        (ri * cfg.int_sign * intval).astype(y.dtype))
+                return y
+
             def mv(v):
-                return proj(self._apply_impl(
-                    An, v.reshape(b.shape)).reshape(-1), nullq)
+                return proj(_apply_rs(
+                    An, v.reshape(b.shape), r_int).reshape(-1), nullq)
 
             if precision == "Mixed":
                 # f32 Krylov + f64 refinement (fgmres._fgmres_ir_flat)
@@ -549,7 +565,8 @@ class Ocean:
 
                 def mv32(v):
                     return proj(_mv32_impl(
-                        AnK32, v.reshape(b.shape)).reshape(-1), nullq32)
+                        AnK32, v.reshape(b.shape),
+                        r_int.astype(jnp.float32)).reshape(-1), nullq32)
 
                 pc32 = _pc(factors32, nullq32, b.shape)
                 res = _fgmres_ir_flat(mv, mv32, pc32, flat_b,
@@ -576,7 +593,21 @@ class Ocean:
         Newton iteration (Ocean.C:1360-1375)."""
         if self._prec_for is not self.jac:
             with log.timer("Ocean: build preconditioner"):
-                self._prec_factors = self._prec_build(self.jac)
+                # THCM row scaling (scaling.F90, Ocean::scaleProblem):
+                # the solver sees (R J) z = R b — same solution, far
+                # better-conditioned blocks for the preconditioner
+                if self.cfg.scaling == "THCM":
+                    from . import scaling as _scal
+                    R, _ = _scal.row_col_scaling(
+                        self.jac, np.asarray(self.landm))
+                    self._rowscale = R
+                    self._jac_s = self.jac * R[None, :, None]
+                    self._rint = R[self.rowintcon]
+                else:
+                    self._rowscale = None
+                    self._jac_s = self.jac
+                    self._rint = jnp.asarray(1.0)
+                self._prec_factors = self._prec_build(self._jac_s)
                 if self._precision == "Mixed" and \
                         not self._prec_host_only:
                     # factor in f64 (the blocks are too ill-conditioned
@@ -588,9 +619,9 @@ class Ocean:
                 else:
                     self._prec_factors32 = self._prec_factors
                 if self._precision == "Mixed":
-                    self._jacK32 = (self._pallas_prepare(self.jac)
+                    self._jacK32 = (self._pallas_prepare(self._jac_s)
                                     if self._use_pallas
-                                    else self.jac.astype(jnp.float32))
+                                    else self._jac_s.astype(jnp.float32))
                 else:
                     # unused in the Double path; keep a zero-size token
                     self._jacK32 = jnp.zeros((0,), jnp.float32)
@@ -625,12 +656,41 @@ class Ocean:
     # Land mask swapping (reference Ocean::setLandMask/getLandMask,
     # Ocean.C:490-788 — used by the topography homotopy)
     # ------------------------------------------------------------------
-    def get_land_mask(self, filename: str) -> np.ndarray:
+    def get_land_mask(self, filename: str,
+                      adjust_mask: bool = False) -> np.ndarray:
         """Load a raw (l, m, n) land mask by file name, searched like
-        the constructor does (CWD, then <data_dir>/mkmask)."""
+        the constructor does (CWD, then <data_dir>/mkmask).  With
+        adjust_mask=True the mask is installed and run through the
+        analyze-Jacobian mask-fix cycle first (Ocean::getLandMask
+        adjustMask path, Ocean.C:490-570), returning the fixed mask."""
         path = filename if os.path.exists(filename) else \
             os.path.join(self._data_dir or ".", "mkmask", filename)
-        return lm.read_mask_file(path, self.grid)
+        raw = lm.read_mask_file(path, self.grid)
+        if adjust_mask:
+            from . import analysis
+            self.set_land_mask(raw)
+            self.compute_jacobian()
+            analysis.mask_fix_cycle(self)
+            return np.asarray(self.landm)
+        return raw
+
+    def analyze_jacobian(self) -> int:
+        """Singular-row / column-integral analysis of the current
+        Jacobian (Ocean::analyzeJacobian1/2, Ocean.C:273-423); returns
+        the number of flagged rows."""
+        from . import analysis
+        f1 = analysis.analyze_jacobian1(self)
+        f2 = analysis.analyze_jacobian2(self)
+        return int((f1 == 2).sum() + (f2 == 2).sum())
+
+    def integral_checks(self, x=None) -> dict:
+        """Salt advection/diffusion conservation integrals
+        (integrals.F90:17-89): both must vanish over the ocean."""
+        from . import analysis
+        adv = analysis.salt_advection(self, x)
+        dif = analysis.salt_diffusion(self, x)
+        return {"salt advection": float(np.sum(adv)),
+                "salt diffusion": float(np.sum(dif))}
 
     def set_land_mask(self, landm: np.ndarray, *,
                       finalized: bool = False) -> None:
@@ -713,11 +773,20 @@ class Ocean:
             # AdditiveSchwarz-MRILU path (src/mrilucpp/)
             from ...solvers.fgmres import fgmres_host
             shape = b.shape
+            b_s = b if self._rowscale is None else b * self._rowscale
+            jac_s = self._jac_s
+            rint, ir, sres = self._rint, self.rowintcon, self.cfg.sres
+
+            def mv_host(v):
+                y = self._apply_fn(jac_s, v.reshape(shape))
+                if sres == 0:
+                    # _apply_fn writes the unscaled integral row
+                    y = y.at[ir].multiply(rint)
+                return y.reshape(-1)
+
             with log.timer("Ocean: solve"):
                 x, res = fgmres_host(
-                    lambda v: self._apply_fn(
-                        self.jac, v.reshape(shape)).reshape(-1),
-                    b,
+                    mv_host, b_s,
                     prec=lambda r: self._prec_apply(
                         factors, r.reshape(shape)).reshape(-1),
                     tol=tol, maxiter=self._maxiter)
@@ -727,10 +796,11 @@ class Ocean:
             log.track_iterations("Ocean: FGMRES iterations",
                                  self.solve_iters)
             return self.sol
+        b_s = b if self._rowscale is None else b * self._rowscale
         with log.timer("Ocean: solve"):
-            x, iters, relres = self._solve_fn(self.jac, self._jacK32,
-                                              factors, factors32, b,
-                                              tol, nullq)
+            x, iters, relres = self._solve_fn(self._jac_s, self._jacK32,
+                                              factors, factors32, b_s,
+                                              tol, nullq, self._rint)
             x.block_until_ready()
         self.sol = x
         self.solve_iters = int(iters)

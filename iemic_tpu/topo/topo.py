@@ -161,7 +161,7 @@ class Topo:
         x, iters, relres = m._solve_fn(self.jac, self._jacK32,
                                        self._prec_factors,
                                        self._prec_factors32, b, tol,
-                                       nullq)
+                                       nullq, jnp.asarray(1.0))
         self.sol = x
         m.sol = x
         m.solve_iters = int(iters)
