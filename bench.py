@@ -98,56 +98,80 @@ def bench_matvec(results):
 
 def bench_newton(results):
     """Wall-clock per Newton-continuation step (jac build + prec build
-    + 2 bordered FGMRES solves) on a land-masked global config with the
-    production Mixed+BGS path."""
+    + 2 bordered FGMRES solves) on a land-masked global config.
+
+    Two configurations are measured at the design point:
+      * Amesos (sparse-direct preconditioner, the reference's
+        Amesos_Klu Ifpack option) — converges to 1e-8; the honest
+        converged-step number.
+      * Mixed+BGS (the all-device block-GS path) — fast per iteration
+        but, like the reference's BGS without its MRILU/ML subsolvers,
+        it does not reach 1e-8 on this masked problem; reported with
+        its achieved residual.
+    """
     import jax.numpy as jnp
     from iemic_tpu.models.ocean import Ocean
 
     n, m, l = 96, 38, 12
     kern = os.environ.get("BENCH_KERNEL", "auto")
-    ocean = Ocean({"THCM": {
-        "Global Grid-Size n": n, "Global Grid-Size m": m,
-        "Global Grid-Size l": l,
-        "Global Bound xmin": 0.0, "Global Bound xmax": 360.0,
-        "Global Bound ymin": -85.5, "Global Bound ymax": 85.5,
-        "Periodic": True,
-        "Read Land Mask": True, "Land Mask": "mask_global_96x38x12",
-        "Starting Parameters": {"Combined Forcing": 0.1,
-                                "Temperature Forcing": 10.0,
-                                "Wind Forcing": 1.0,
-                                "Salinity Forcing": 0.1},
-    }}, solver_params={"Preconditioning": "BGS", "Precision": "Mixed",
-                       "FGMRES tolerance": 1e-8,
-                       "FGMRES iterations": 300,
-                       "Matvec kernel": kern},
-        data_dir=os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "data"))
 
-    ocean.compute_rhs()
-    b = -ocean.rhs
+    def make(prec, precision, iters):
+        return Ocean({"THCM": {
+            "Global Grid-Size n": n, "Global Grid-Size m": m,
+            "Global Grid-Size l": l,
+            "Global Bound xmin": 0.0, "Global Bound xmax": 360.0,
+            "Global Bound ymin": -85.5, "Global Bound ymax": 85.5,
+            "Periodic": True,
+            "Read Land Mask": True,
+            "Land Mask": "mask_global_96x38x12",
+            "Starting Parameters": {"Combined Forcing": 0.1,
+                                    "Temperature Forcing": 10.0,
+                                    "Wind Forcing": 1.0,
+                                    "Salinity Forcing": 0.1},
+        }}, solver_params={"Preconditioning": prec,
+                           "Precision": precision,
+                           "FGMRES tolerance": 1e-8,
+                           "FGMRES iterations": iters,
+                           "Matvec kernel": kern},
+            data_dir=os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "data"))
 
-    def newton_step():
-        ocean.compute_jacobian()
-        ocean._prec_for = None           # force refactor like a fresh J
-        ocean._get_prec_factors()
-        z1 = ocean.solve(b)
-        it1 = ocean.solve_iters
-        z2 = ocean.solve(0.5 * b)
-        it2 = ocean.solve_iters
-        z2.block_until_ready()
-        return it1 + it2
+    def measure(ocean):
+        ocean.compute_rhs()
+        b = -ocean.rhs
 
-    mv = newton_step()                    # compile + warm
-    t0 = time.perf_counter()
-    mv = newton_step()
-    dt = time.perf_counter() - t0
-    results["newton_step"] = {
-        "grid": [n, m, l], "dof": 6 * n * m * l, "masked": True,
-        "newton_step_ms": dt * 1e3,
-        "mv_effort": mv,
-        "solve_relres": ocean.solve_relres,
-        "preconditioner": "BGS", "precision": "Mixed",
-    }
+        def newton_step():
+            ocean.compute_jacobian()
+            ocean._prec_for = None       # force refactor: fresh J
+            ocean._get_prec_factors()
+            z1 = ocean.solve(b)
+            it1 = ocean.solve_iters
+            z2 = ocean.solve(0.5 * b)
+            it2 = ocean.solve_iters
+            z2.block_until_ready()
+            return it1 + it2
+
+        mv = newton_step()               # compile + warm
+        t0 = time.perf_counter()
+        mv = newton_step()
+        dt = time.perf_counter() - t0
+        return dt, mv, ocean.solve_relres
+
+    out = {"grid": [n, m, l], "dof": 6 * n * m * l, "masked": True}
+    try:
+        dt, mv, rr = measure(make("Amesos", "Double", 100))
+        out.update({"newton_step_ms": dt * 1e3, "mv_effort": mv,
+                    "solve_relres": rr,
+                    "preconditioner": "Amesos", "precision": "Double"})
+    except Exception as e:
+        out["amesos_error"] = str(e)[:200]
+    try:
+        dt, mv, rr = measure(make("BGS", "Mixed", 200))
+        out["bgs_mixed"] = {"newton_step_ms": dt * 1e3,
+                            "mv_effort": mv, "solve_relres": rr}
+    except Exception as e:
+        out["bgs_error"] = str(e)[:200]
+    results["newton_step"] = out
 
 
 def main():

@@ -31,8 +31,6 @@ import jax.numpy as jnp
 from ...config import ParameterList
 from ...utils import logging as log
 from ...solvers.fgmres import _fgmres_flat
-from ...solvers.preconditioner import (build_column_blocks,
-                                       apply_column_prec)
 from ..ocean import constants as oc
 from ..ocean.assembly import CouplingCoefs
 
@@ -244,14 +242,26 @@ class CoupledModel:
         return table.get(key)
 
     def coupling_apply(self, i, j, v_j):
-        """C_ij v_j by forward-mode autodiff at the current states."""
+        """C_ij v_j by forward-mode autodiff at the current states.
+
+        The coupling map is LINEARIZED once per Jacobian refresh and
+        the jitted tangent closure reused across every Krylov iteration
+        (re-tracing jax.jvp per matvec dominated the coupled solve
+        cost); the cache is dropped by compute_jacobian/set_state, the
+        same lifetime as the reference's CouplingBlock CRS refresh
+        (CoupledModel.C:236-259)."""
         fn = self._cross_map(i, j)
         if fn is None:
             return None
-        x_i = self.models[i].get_state()
-        x_j = self.models[j].get_state()
-        _, tangent = jax.jvp(lambda xj: fn(x_i, xj), (x_j,), (v_j,))
-        return tangent
+        cache = getattr(self, "_coupling_lin", None)
+        if cache is None:
+            cache = self._coupling_lin = {}
+        if (i, j) not in cache:
+            x_i = self.models[i].get_state()
+            x_j = self.models[j].get_state()
+            _, f_jvp = jax.linearize(lambda z: fn(x_i, z), x_j)
+            cache[(i, j)] = jax.jit(f_jvp)
+        return cache[(i, j)](v_j)
 
     # ------------------------------------------------------------------
     # Model contract
@@ -265,6 +275,7 @@ class CoupledModel:
     def compute_jacobian(self):
         if self.solving_scheme != "D":
             self.synchronize()
+        self._coupling_lin = {}          # relinearize coupling blocks
         for m in self.models:
             m.compute_jacobian()
         # refresh the cached ocean nonlinear tensor for coupling jvps
@@ -346,12 +357,18 @@ class CoupledModel:
         return self.join(z)
 
     def _model_precon(self, k, b):
-        """Apply model k's own preconditioner (ocean: column blocks +
-        deflation; atmosphere/seaice: their direct solves)."""
+        """Apply model k's OWN configured preconditioner, like the
+        reference's block-GS sweep which hands the ocean block to its
+        BlockPreconditioner and atmos/seaice to their Ifpack solves
+        (CoupledModel.C:489-610).  The ocean's factors come from its
+        SolverFactory dispatch (Columns/BGS/...) and are cached per
+        Jacobian by Ocean._get_prec_factors."""
         m = self.models[k]
         if type(m).__name__ == "Ocean":
-            Binv = build_column_blocks(m.jac)
-            z = apply_column_prec(Binv, b)
+            factors, _ = m._get_prec_factors()
+            if m._rowscale is not None:
+                b = b * m._rowscale      # the factors see (R J)
+            z = m._prec_apply(factors, b)
             q = m._get_deflator()
             if q is not None:
                 zf = z.reshape(-1)
@@ -384,6 +401,7 @@ class CoupledModel:
 
     def set_state(self, x):
         self._nl_cache = None
+        self._coupling_lin = {}
         for m, p in zip(self.models, self.split(x)):
             m.set_state(p)
 

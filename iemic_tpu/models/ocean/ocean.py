@@ -26,8 +26,7 @@ from ...config import ParameterList
 from ...grid import Grid, make_grid
 from ...ops.stencil import (UU, VV, WW, PP, TT, SS, apply_stencil, to_flat,
                             from_flat)
-from ...solvers.fgmres import fgmres, _fgmres_flat, _fgmres_ir_flat
-from ...solvers import bgs
+from ...solvers.fgmres import _fgmres_flat
 from ...utils import logging as log
 from . import assembly, constants as c, landmask as lm
 from .assembly import CouplingCoefs, ForcingFields
@@ -48,6 +47,7 @@ def default_thcm_params() -> ParameterList:
     p.set("Depth hdim", 4000.0)
     p.set("Grid Stretching qz", 1.0)
     p.set("Topography", 1)
+    p.set("Topography Data", "")
     p.set("Flat Bottom", False)
     p.set("Compute salinity integral", True)
     p.set("Read Land Mask", False)
@@ -78,6 +78,10 @@ def default_thcm_params() -> ParameterList:
     p.set("Temperature Forcing Data", "levitus/new/t00an1")
     p.set("Salinity Forcing Data", "levitus/new/s00an1")
     p.set("Time Dependent Forcing", False)
+    p.set("Seasonal Forcing", 1.0)
+    p.set("Seasonal Forcing (Wind)", 1.0)
+    p.set("Seasonal Forcing (Temperature)", 1.0)
+    p.set("Seasonal Forcing (Salinity)", 1.0)
     p.set("Integral row coordinate i", -1)
     p.set("Integral row coordinate j", -1)
     p.set("Scaling", "THCM")
@@ -233,12 +237,29 @@ class Ocean:
             path = mask_file if os.path.exists(mask_file) else \
                 os.path.join(data_dir or ".", "mkmask", mask_file)
             raw = lm.read_mask_file(path, self.grid)
+        elif itopo == 0:
+            # generate from bathymetry (depth3land pipeline,
+            # topo.F90:136-177): 'Topography Data' names a numpy .npy
+            # (m, n) sea-floor depth field in meters (negative below
+            # sea level); the reference's vestigial ETOPO spline fit
+            # passes depth = 0 here and dies the same way
+            tf = t.get("Topography Data", "")
+            path = tf if os.path.exists(tf) else \
+                os.path.join(data_dir or ".", tf)
+            if not tf or not os.path.exists(path):
+                raise ValueError(
+                    "Topography 0 without 'Read Land Mask' needs "
+                    "'Topography Data' (an (m, n) .npy depth field)")
+            raw = lm.depth_to_land(np.load(path), self.grid)
         elif itopo == 1:
             raw = lm.no_land(self.grid)
+        elif itopo == 2:
+            raw = lm.miocene(self.grid)
         else:
             raise NotImplementedError(f"Topography option {itopo}")
-        self.landm = lm.finalize_mask(raw, self.grid, periodic,
-                                      flat=bool(t.get("Flat Bottom")))
+        self.landm = lm.finalize_mask(
+            raw, self.grid, periodic, flat=bool(t.get("Flat Bottom")),
+            file_ghosts=bool(t.get("Read Land Mask")))
 
         # ---- forcing fields -----------------------------------------
         fields = {}
@@ -287,6 +308,33 @@ class Ocean:
                     ps, self.grid, self.landm, "SALT"))
         self.fields = ForcingFields(**fields)
         self.cpl = CouplingCoefs()
+
+        # seasonal forcing (m_monthly): annual means from the loaded
+        # data fields; monthly slices default to the annual mean
+        # (monthly.F90 init:24-55) and can be installed afterwards via
+        # ocean.monthly_forcing.mtaux = ... (the C++ does the same with
+        # per-month setup calls, THCM.C:2591).  Only data-driven fields
+        # participate — the idealized profiles are regenerated inside
+        # forcing() exactly like the Fortran (forcing.F90:60-120).
+        self._time = 0.0
+        self._time_dep_forcing = bool(t.get("Time Dependent Forcing"))
+        self.monthly_forcing = None
+        if self._time_dep_forcing:
+            zero2 = np.zeros((m, n))
+
+            def _ann(name):
+                f = getattr(self.fields, name)
+                return np.asarray(f) if f is not None else zero2
+
+            self.monthly_forcing = fd.MonthlyForcing(
+                ataux=_ann("taux"), atauy=_ann("tauy"),
+                atatm=_ann("tatm"), aemip=_ann("emip"),
+                atemp=(np.asarray(self.fields.internal_temp)
+                       if self.fields.internal_temp is not None
+                       else None),
+                asalt=(np.asarray(self.fields.internal_salt)
+                       if self.fields.internal_salt is not None
+                       else None))
 
         # nondimensionalization for body forcing (usrc.F90:125-127)
         dzne = self.grid.dz * self.grid.dfzT[l - 1]
@@ -486,7 +534,8 @@ class Ocean:
         self._prec_build, self._prec_apply = sfactory.make_preconditioner(
             prec_params, landm=np.asarray(self.landm),
             periodic=cfg.periodic, grid_shape=(cfg.l, cfg.m, cfg.n))
-        self._prec_host_only = (prec_params.get("Method") == "MILU")
+        self._prec_host_only = (prec_params.get("Method")
+                                in ("MILU", "Amesos"))
 
         prec_apply = self._prec_apply
 
@@ -558,33 +607,93 @@ class Ocean:
                 return proj(_apply_rs(
                     An, v.reshape(b.shape), r_int).reshape(-1), nullq)
 
-            if precision == "Mixed":
-                # f32 Krylov + f64 refinement (fgmres._fgmres_ir_flat)
-                nullq32 = (nullq.astype(jnp.float32)
-                           if nullq is not None else None)
-
-                def mv32(v):
-                    return proj(_mv32_impl(
-                        AnK32, v.reshape(b.shape),
-                        r_int.astype(jnp.float32)).reshape(-1), nullq32)
-
-                pc32 = _pc(factors32, nullq32, b.shape)
-                res = _fgmres_ir_flat(mv, mv32, pc32, flat_b,
-                                      jnp.zeros_like(flat_b),
-                                      jnp.asarray(tol, flat_b.dtype),
-                                      maxiter)
-            else:
-                pc = _pc(factors, nullq, b.shape)
-                res = _fgmres_flat(mv, pc, flat_b,
-                                   jnp.zeros_like(flat_b),
-                                   jnp.asarray(tol, flat_b.dtype),
-                                   maxiter)
+            pc = _pc(factors, nullq, b.shape)
+            res = _fgmres_flat(mv, pc, flat_b,
+                               jnp.zeros_like(flat_b),
+                               jnp.asarray(tol, flat_b.dtype),
+                               maxiter)
             x = proj(res.x, nullq)
             return x.reshape(b.shape), res.iters, res.relres
 
         self._solve_fn = jax.jit(_solve)
+
+        # Mixed-precision pieces, driven by a HOST-side refinement loop
+        # (Ocean.solve): the inner f32-operator Krylov solve and the
+        # exact f64 residual refresh are separate jitted functions.
+        # An all-in-one jitted IR (nested lax.while_loops) kernel-faults
+        # the TPU runtime beyond ~50k dof, and the host loop costs only
+        # ~1 dispatch per refinement sweep.
+        shape6 = (6, cfg.l, cfg.m, cfg.n)
+
+        def _proj(v, Q):
+            return v if Q is None else v - Q @ (Q.T @ v)
+
+        def _inner(AnK32, factors32, r, nullq, r_int):
+            """One f32-operator Krylov solve of (R J) dz = r with f64
+            Arnoldi; r is the normalized f64 residual."""
+            nullq32 = (nullq.astype(jnp.float32)
+                       if nullq is not None else None)
+
+            def mv_h(v):
+                v32 = v.astype(jnp.float32).reshape(shape6)
+                y = _mv32_impl(AnK32, v32, r_int.astype(jnp.float32))
+                return _proj(y.reshape(-1), nullq32).astype(r.dtype)
+
+            def pc_h(v):
+                v32 = v.astype(jnp.float32).reshape(shape6)
+                z = prec_apply(factors32, v32).reshape(-1)
+                return _proj(z, nullq32).astype(r.dtype)
+
+            res = _fgmres_flat(mv_h, pc_h, r, jnp.zeros_like(r),
+                               jnp.asarray(1e-6, r.dtype), maxiter,
+                               stall_limit=60)
+            return _proj(res.x, nullq), res.iters, res.relres
+
+        def _mv64(An, v, nullq, r_int):
+            y = apply_stencil(An, v.reshape(shape6),
+                              periodic=cfg.periodic)
+            if cfg.sres == 0:
+                intval = jnp.vdot(int_coeff, v.reshape(shape6))
+                y = y.at[ir].set(r_int * cfg.int_sign * intval)
+            return _proj(y.reshape(-1), nullq)
+
+        self._inner_fn = jax.jit(_inner)
+        self._mv64_fn = jax.jit(_mv64)
         self._precision = precision
         self._maxiter = maxiter
+
+    def _solve_mixed_host(self, b_s, tol, nullq, factors32,
+                          max_refine: int = 12):
+        """Mixed-precision solve with HOST-driven f64 iterative
+        refinement: each sweep runs one jitted f32-operator Krylov
+        solve (stall-guarded) and one exact f64 residual refresh.  Each
+        sweep contracts the error by the f32 solve's relative accuracy
+        (~1e-2 for BGS on hard problems, ~1e-6 on mild ones), so a few
+        sweeps reach the all-f64 accuracy of the reference's Belos
+        FGMRES at a fraction of the cost (SURVEY §7 hard part 4)."""
+        flat_b = b_s.reshape(-1)
+        if nullq is not None:
+            flat_b = flat_b - nullq @ (nullq.T @ flat_b)
+        bn = float(jnp.linalg.norm(flat_b))
+        target = tol * (bn if bn > 0 else 1.0)
+        x = jnp.zeros_like(flat_b)
+        r = flat_b
+        total = 0
+        relres = 1.0
+        for _ in range(max_refine):
+            rn = float(jnp.linalg.norm(r))
+            relres = rn / max(bn, 1e-300)
+            if rn <= target:
+                break
+            dz, its, _ = self._inner_fn(self._jacK32, factors32,
+                                        r / rn, nullq, self._rint)
+            x = x + dz * rn
+            r = flat_b - self._mv64_fn(self._jac_s, x, nullq, self._rint)
+            total += int(its)
+        rn = float(jnp.linalg.norm(r))
+        relres = rn / max(bn, 1e-300)
+        return (x.reshape(b_s.shape), jnp.asarray(total),
+                jnp.asarray(relres))
 
     def _get_prec_factors(self):
         """Build (or reuse) the preconditioner factors for the current
@@ -668,7 +777,7 @@ class Ocean:
         raw = lm.read_mask_file(path, self.grid)
         if adjust_mask:
             from . import analysis
-            self.set_land_mask(raw)
+            self.set_land_mask(raw, file_ghosts=True)
             self.compute_jacobian()
             analysis.mask_fix_cycle(self)
             return np.asarray(self.landm)
@@ -693,7 +802,8 @@ class Ocean:
                 "salt diffusion": float(np.sum(dif))}
 
     def set_land_mask(self, landm: np.ndarray, *,
-                      finalized: bool = False) -> None:
+                      finalized: bool = False,
+                      file_ghosts: bool = False) -> None:
         """Install a new land mask and rebuild every mask-dependent
         operator (atoms, integral condition, jitted closures).  Raw
         (l, m, n) masks are finalized first (flood-fill of closed
@@ -701,14 +811,18 @@ class Ocean:
         t = self.params.sublist("THCM")
         cfg = self.cfg
         if landm.shape == (cfg.l, cfg.m, cfg.n):
-            # raw interior mask -> padded (l+2, m+2, n+2) convention
+            # raw interior mask -> padded (l+2, m+2, n+2) convention;
+            # no file ghosts exist, so the periodic seam is generated
+            # (open wherever both ends are ocean, topo.F90:314-318)
             full = np.full((cfg.l + 2, cfg.m + 2, cfg.n + 2), 1,
                            dtype=np.int32)
             full[1:cfg.l + 1, 1:cfg.m + 1, 1:cfg.n + 1] = landm
             landm = full
+            file_ghosts = False
         if not finalized:
             landm = lm.finalize_mask(landm, self.grid, cfg.periodic,
-                                     flat=bool(t.get("Flat Bottom")))
+                                     flat=bool(t.get("Flat Bottom")),
+                                     file_ghosts=file_ghosts)
         self.landm = landm
         self.atoms = assembly.build_linear_atoms(
             self.grid, self.landm, ih=cfg.ih,
@@ -776,20 +890,30 @@ class Ocean:
             b_s = b if self._rowscale is None else b * self._rowscale
             jac_s = self._jac_s
             rint, ir, sres = self._rint, self.rowintcon, self.cfg.sres
+            nullq_h = nullq
+
+            def proj_h(v):
+                if nullq_h is None:
+                    return v
+                return v - nullq_h @ (nullq_h.T @ v)
 
             def mv_host(v):
                 y = self._apply_fn(jac_s, v.reshape(shape))
                 if sres == 0:
                     # _apply_fn writes the unscaled integral row
                     y = y.at[ir].multiply(rint)
-                return y.reshape(-1)
+                return proj_h(y.reshape(-1))
+
+            def pc_host(r):
+                z = self._prec_apply(factors,
+                                     r.reshape(shape)).reshape(-1)
+                return proj_h(z)
 
             with log.timer("Ocean: solve"):
                 x, res = fgmres_host(
-                    mv_host, b_s,
-                    prec=lambda r: self._prec_apply(
-                        factors, r.reshape(shape)).reshape(-1),
+                    mv_host, proj_h(b_s.reshape(-1)), prec=pc_host,
                     tol=tol, maxiter=self._maxiter)
+            x = proj_h(x)
             self.sol = x.reshape(shape)
             self.solve_iters = int(res.iters)
             self.solve_relres = float(res.relres)
@@ -798,9 +922,13 @@ class Ocean:
             return self.sol
         b_s = b if self._rowscale is None else b * self._rowscale
         with log.timer("Ocean: solve"):
-            x, iters, relres = self._solve_fn(self._jac_s, self._jacK32,
-                                              factors, factors32, b_s,
-                                              tol, nullq, self._rint)
+            if self._precision == "Mixed":
+                x, iters, relres = self._solve_mixed_host(
+                    b_s, tol, nullq, factors32)
+            else:
+                x, iters, relres = self._solve_fn(
+                    self._jac_s, self._jacK32, factors, factors32,
+                    b_s, tol, nullq, self._rint)
             x.block_until_ready()
         self.sol = x
         self.solve_iters = int(iters)
@@ -825,11 +953,40 @@ class Ocean:
 
     # -- parameters ----------------------------------------------------
     def set_par(self, name: str, value: float) -> None:
+        if name == "Time":
+            # nondimensional time: with 'Time Dependent Forcing' the
+            # surface/internal forcing fields follow the seasonal cycle
+            # (THCM::setParameter param==0, THCM.C:1883-1914)
+            self._set_time(value)
+            return
         idx = c.PAR_NAMES.get(name)
         if idx is None:
             log.WARNING(f"Ocean: unknown parameter '{name}'")
             return
         self.par = self.par.at[idx].set(value)
+
+    def _set_time(self, t: float) -> None:
+        self._time = t
+        if not self._time_dep_forcing or self.monthly_forcing is None:
+            return
+        tpars = self.params.sublist("THCM")
+        g = tpars.get("Seasonal Forcing", 1.0)
+        gW = g * tpars.get("Seasonal Forcing (Wind)", 1.0)
+        gT = g * tpars.get("Seasonal Forcing (Temperature)", 1.0)
+        gS = g * tpars.get("Seasonal Forcing (Salinity)", 1.0)
+        if t < 0.0:      # reset to constant forcing (THCM.C:1904-1913)
+            t, gW, gT, gS = 0.0, 0.0, 0.0, 0.0
+        mf = self.monthly_forcing
+        taux, tauy, tatm, emip = mf.update(t, gW, gT, gS)
+        repl = dict(taux=jnp.asarray(taux), tauy=jnp.asarray(tauy),
+                    tatm=jnp.asarray(tatm), emip=jnp.asarray(emip))
+        if mf.atemp is not None or mf.mtemp is not None:
+            temp, salt = mf.update_internal(t, gT, gS)
+            if temp is not None:
+                repl["internal_temp"] = jnp.asarray(temp)
+            if salt is not None:
+                repl["internal_salt"] = jnp.asarray(salt)
+        self.fields = self.fields._replace(**repl)
 
     def get_par(self, name: str) -> float:
         idx = c.PAR_NAMES.get(name)

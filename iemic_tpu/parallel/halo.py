@@ -125,4 +125,64 @@ def make_sharded_ops(ocean, domain):
         x = domain.constrain_state(x)
         return ocean._jac_fn(x, par, fields, cpl)
 
-    return {"matvec": jax.jit(matvec), "rhs": rhs, "jac": jac}
+    return {"matvec": jax.jit(matvec), "rhs": rhs, "jac": jac,
+            "solve": make_sharded_solve(ocean, domain, matvec)}
+
+
+def make_sharded_solve(ocean, domain, matvec=None):
+    """Sharded BGS-preconditioned FGMRES solve (the full solve path of
+    §3.1 under SPMD): the Krylov matvec runs the explicit shard_map
+    halo exchange, the block-GS preconditioner factors/applies under
+    GSPMD (its batched column inverses partition over the (y, x) mesh;
+    the depth-averaged 2D saddle solve's reductions become mesh
+    collectives), and the pressure null modes are deflated globally.
+
+    Returns ``solve(An, b, tol, maxiter) -> (x, iters, relres)`` — the
+    multi-device equivalent of Ocean.solve's Double path, used for the
+    np in {1,2,4,8} equivalence regression
+    (reference src/tests/CMakeLists.txt:77-87).
+    """
+    from ..solvers import bgs
+    from ..solvers.fgmres import _fgmres_flat
+
+    cfg = ocean.cfg
+    landm = __import__("numpy").asarray(ocean.landm)
+    if matvec is None:
+        ops_mv = make_sharded_stencil_apply(domain)
+        int_coeff = domain.shard_state(ocean.int_coeff)
+        ir = ocean.rowintcon
+
+        def matvec(An, v):
+            y = ops_mv(An, v)
+            if cfg.sres == 0:
+                y = y.at[ir].set(cfg.int_sign * jnp.vdot(int_coeff, v))
+            return y
+
+    nullq = ocean._get_deflator() if ocean.jac is not None else None
+
+    def _solve(An, b, tol, maxiter):
+        An = jax.lax.with_sharding_constraint(
+            An, domain.stencil_sharding)
+        factors = bgs.build(An, landm, periodic=cfg.periodic)
+
+        def proj(v):
+            if nullq is None:
+                return v
+            return v - nullq @ (nullq.T @ v)
+
+        shape = b.shape
+        flat_b = proj(b.reshape(-1))
+
+        def mv(v):
+            return proj(matvec(An, v.reshape(shape)).reshape(-1))
+
+        def pc(v):
+            z = bgs.apply(factors, v.reshape(shape),
+                          periodic=cfg.periodic).reshape(-1)
+            return proj(z)
+
+        res = _fgmres_flat(mv, pc, flat_b, jnp.zeros_like(flat_b),
+                           tol, maxiter)
+        return proj(res.x).reshape(shape), res.iters, res.relres
+
+    return jax.jit(_solve, static_argnames=("maxiter",))

@@ -266,8 +266,8 @@ def _inner_fgmres(matvec, prec, b, tol, maxiter):
 @partial(jax.jit, static_argnames=("periodic", "nit_spp", "nit_uv",
                                    "nit_ts", "spp_scheme"))
 def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
-          nit_spp: int = 40, nit_uv: int = 8,
-          nit_ts: int = 8, spp_scheme: str = "KRYLOV") -> jnp.ndarray:
+          nit_spp: int = 100, nit_uv: int = 12,
+          nit_ts: int = 12, spp_scheme: str = "KRYLOV") -> jnp.ndarray:
     """One block-GS sweep z ~= J^{-1} r (SolveLower-style)."""
     An = prec.An
     _, nun, _, l, m, n = An.shape
@@ -315,7 +315,9 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
                 z = z.at[2].add(-jnp.vdot(sv, z[2]) * sv)
             return z.reshape(-1)
 
-    zbar = _inner_fgmres(spp_mv, spp_pc, rbar, 1e-2, nit_spp)
+    # the barotropic solve is THE long-range coupling: a 2D
+    # iteration costs ~1/l of a 3D matvec, so solve it properly
+    zbar = _inner_fgmres(spp_mv, spp_pc, rbar, 1e-4, nit_spp)
     zbar = zbar.reshape(3, m, n)
 
     # 3. full pressure = baroclinic + barotropic, checkerboard-projected

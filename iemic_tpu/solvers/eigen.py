@@ -31,7 +31,7 @@ def default_jdqz_params() -> ParameterList:
     p.set("Shift (imaginary part)", 0.0)
     p.set("Tolerance", 1e-9)
     p.set("Number of eigenvalues", 5)
-    p.set("Max size search space", 1000)
+    p.set("Max size search space", 60)
     p.set("Min size search space", 20)
     p.set("Max JD iterations", 500)
     p.set("Tracking parameter", 1e-9)
@@ -39,6 +39,10 @@ def default_jdqz_params() -> ParameterList:
     p.set("Linear solver", 1)
     p.set("GMRES search space", 20)
     p.set("Verbosity", 0)
+    # inner solve controls for the complex-shift path (the reference's
+    # jdqzpp GMRES on ComplexVector pairs)
+    p.set("Solver tolerance", 1e-8)
+    p.set("Solver iterations", 300)
     return p
 
 
@@ -57,13 +61,11 @@ class JDQZ:
         self.params = params
         self.model = model
         self.sigma = params.get("Shift (real part)")
-        if abs(params.get("Shift (imaginary part)")) > 0:
-            log.WARNING("JDQZ: complex shifts not supported; using the "
-                        "real part only")
+        self.sigma_im = params.get("Shift (imaginary part)")
         self.tol = params.get("Tolerance")
         self.kmax = params.get("Number of eigenvalues")
-        self.jmax = min(params.get("Max size search space"),
-                        max(4 * self.kmax + 8, 24))
+        self.jmax = max(params.get("Max size search space"),
+                        4 * self.kmax + 8)
         self.maxiter = params.get("Max JD iterations")
         self.eigenvalues = np.zeros(0, dtype=complex)
         self.alpha = np.zeros(0, dtype=complex)
@@ -77,7 +79,17 @@ class JDQZ:
 
     # ------------------------------------------------------------------
     def _setup_operator(self):
-        """Prepare (J - sigma B)^{-1} B using the model's machinery."""
+        """Prepare (J - sigma B)^{-1} B using the model's machinery.
+
+        For complex sigma the solve runs on the real 2N embedding of
+        the complex system — the TPU-native analog of the reference's
+        ComplexVector<V> pairs fed to JDQZ's preconditioned GMRES
+        (src/utils/ComplexVector.H, JDQZInterface.H:37-57):
+
+            (J' - i si B)(xr + i xi) = B vr + i B vi,  J' = J - sr B
+
+        preconditioned blockwise by the model's own preconditioner
+        (not a full-accuracy nested solve)."""
         m = self.model
         m.compute_jacobian()
         m.compute_mass_matrix()
@@ -85,20 +97,112 @@ class JDQZ:
             m.add_mass_to_jacobian(-self.sigma)
 
         shape = np.shape(m.get_state())
+        N = int(np.prod(shape))
+        if self.sigma_im == 0.0:
+            def op(v_flat):
+                v = jnp.asarray(v_flat).reshape(shape)
+                Bv = m.apply_mass_matrix(v)
+                x = m.solve(Bv)
+                return np.asarray(x).reshape(-1)
 
-        def op(v_flat):
-            v = jnp.asarray(v_flat).reshape(shape)
-            Bv = m.apply_mass_matrix(v)
-            x = m.solve(Bv)
+            return op, N, False
+
+        # ---- complex shift: real 2N embedding -----------------------
+        from .fgmres import fgmres_host
+        si = float(self.sigma_im)
+        nullq = (m._get_deflator()
+                 if hasattr(m, "_get_deflator") else None)
+
+        def proj(v):
+            if nullq is None:
+                return v
+            return v - nullq @ (nullq.T @ v)
+
+        def mv2(v2):
+            xr = jnp.asarray(v2[:N]).reshape(shape)
+            xi = jnp.asarray(v2[N:]).reshape(shape)
+            Bxr = m.apply_mass_matrix(xr)
+            Bxi = m.apply_mass_matrix(xi)
+            yr = proj((m.apply_matrix(xr) + si * Bxi).reshape(-1))
+            yi = proj((m.apply_matrix(xi) - si * Bxr).reshape(-1))
+            return jnp.concatenate([yr, yi])
+
+        if hasattr(m, "_get_prec_factors"):
+            factors, _ = m._get_prec_factors()
+            R = getattr(m, "_rowscale", None)
+
+            def pc1(v):
+                r = v.reshape(shape)
+                if R is not None:
+                    r = r * R          # factors approximate (R J')^-1
+                return proj(m._prec_apply(factors, r).reshape(-1))
+        else:
+            def pc1(v):
+                return proj(m.solve(v.reshape(shape)).reshape(-1))
+
+        def pc2(v2):
+            return jnp.concatenate([pc1(jnp.asarray(v2[:N])),
+                                    pc1(jnp.asarray(v2[N:]))])
+
+        stol = self.params.get("Solver tolerance")
+        smax = self.params.get("Solver iterations")
+
+        def op(v2_flat):
+            vr = jnp.asarray(v2_flat[:N]).reshape(shape)
+            vi = jnp.asarray(v2_flat[N:]).reshape(shape)
+            b = jnp.concatenate([
+                proj(m.apply_mass_matrix(vr).reshape(-1)),
+                proj(m.apply_mass_matrix(vi).reshape(-1))])
+            x, res = fgmres_host(mv2, b, prec=pc2, tol=stol,
+                                 maxiter=smax)
             return np.asarray(x).reshape(-1)
 
-        return op, int(np.prod(shape))
+        return op, 2 * N, True
 
     def solve(self):
         """Shift-invert Arnoldi with Krylov-Schur style restarting."""
         log.INFO("JDQZ: solve...")
         with log.timer("JDQZ: solve"):
-            op, N = self._setup_operator()
+            op, N, cplx = self._setup_operator()
+            sigma_c = self.sigma + 1j * self.sigma_im
+            m = self.model
+            shape = np.shape(m.get_state())
+
+            def fold(v):
+                """Subspace vector -> complex N-vector."""
+                if cplx:
+                    half = v.shape[0] // 2
+                    return v[:half] + 1j * v[half:]
+                return v
+
+            def pencil_resid(lam, v):
+                """TRUE relative pencil residual ||J v - lam B v|| of a
+                candidate pair — validates Ritz pairs against the real
+                problem.  Kills (a) the conjugate-mirror artifacts of
+                the real 2N embedding (they satisfy the embedded
+                operator but not the pencil) and (b) mixed Ritz pairs
+                from clustered |theta| that pass the subspace test.
+                The model currently holds J' = J - Re(sigma) B."""
+                vr = jnp.asarray(np.ascontiguousarray(
+                    np.real(v)).reshape(shape))
+                vi = jnp.asarray(np.ascontiguousarray(
+                    np.imag(v)).reshape(shape))
+                Jv = (np.asarray(m.apply_matrix(vr)).reshape(-1)
+                      + 1j * np.asarray(m.apply_matrix(vi)).reshape(-1))
+                Bv = (np.asarray(m.apply_mass_matrix(vr)).reshape(-1)
+                      + 1j * np.asarray(
+                          m.apply_mass_matrix(vi)).reshape(-1))
+                mu = lam - self.sigma
+                r = Jv - mu * Bv
+                scale = (np.linalg.norm(Jv)
+                         + abs(mu) * np.linalg.norm(Bv))
+                return np.linalg.norm(r) / max(scale, 1e-300)
+
+            ptol = max(100.0 * self.tol, 1e-8)
+            if not hasattr(m, "apply_matrix"):
+                # model exposes only solve(): skip pair validation
+                # (real shifts on such models have no mirror artifacts)
+                pencil_resid = lambda lam, v: 0.0  # noqa: E731
             rng = np.random.default_rng(42)
             m_space = min(self.jmax, N)
 
@@ -139,11 +243,16 @@ class JDQZ:
                 order = np.argsort(-np.abs(theta))  # largest |theta| =
                 # eigenvalues closest to the shift
                 good = []
-                for idx in order:
+                for idx in order[:4 * self.kmax]:
                     if np.abs(theta[idx]) < 1e-13:
                         continue
-                    lam = self.sigma + 1.0 / theta[idx]
+                    lam = sigma_c + 1.0 / theta[idx]
                     rel = resid[idx] / max(np.abs(theta[idx]), 1e-300)
+                    if rel < self.tol:
+                        v = fold(V[:, :j] @ S[:, idx])
+                        pr = pencil_resid(lam, v)
+                        if pr > ptol:
+                            continue      # embedding mirror / mixed pair
                     good.append((lam, theta[idx], S[:, idx], rel))
                 nconv = sum(1 for g in good[:self.kmax]
                             if g[3] < self.tol)
@@ -151,30 +260,29 @@ class JDQZ:
                         or it >= self.maxiter:
                     break
 
-                # Krylov-Schur style restart: keep the best subspace
+                # Krylov-Schur restart (Stewart 2001): sorted real
+                # Schur form keeps the wanted invariant subspace AND
+                # the residual-coupling row b^T = h_{j+1,j} Z[-1,:],
+                # so A V_k = V_k T_k + v b^T holds exactly after the
+                # restart (dropping b^T silently corrupts every Ritz
+                # value computed after a restart).
+                import scipy.linalg as sla
                 keep = min(2 * self.kmax, j - 1)
-                Q, _ = np.linalg.qr(
-                    np.column_stack([np.real(S[:, order[:keep]]),
-                                     np.imag(S[:, order[:keep]])]))
-                keep = Q.shape[1]
-                Vk = V[:, :j] @ Q
-                Hk = Q.T @ Hm @ Q
-                V[:, :keep] = Vk
-                H[:, :] = 0.0
-                H[:keep, :keep] = Hk
-                # append residual vector to restart the recurrence
+                absth = np.sort(np.abs(theta))[::-1]
+                cutoff = absth[min(keep, len(absth)) - 1]
+                T, Z, sdim = sla.schur(
+                    Hm, output="real",
+                    sort=lambda re, im: np.hypot(re, im) >= cutoff * (
+                        1.0 - 1e-12))
+                sdim = max(min(sdim, j - 1), 1)
+                hlast = H[j, j - 1]
                 vres = V[:, j]
-                # orthogonalize vres against kept space
-                for i in range(keep):
-                    vres = vres - (V[:, i] @ vres) * V[:, i]
-                nv = np.linalg.norm(vres)
-                if nv < 1e-14:
-                    vres = rng.standard_normal(N)
-                    for i in range(keep):
-                        vres = vres - (V[:, i] @ vres) * V[:, i]
-                    nv = np.linalg.norm(vres)
-                V[:, keep] = vres / nv
-                j = keep
+                V[:, :sdim] = V[:, :j] @ Z[:, :sdim]
+                H[:, :] = 0.0
+                H[:sdim, :sdim] = T[:sdim, :sdim]
+                H[sdim, :sdim] = hlast * Z[-1, :sdim]
+                V[:, sdim] = vres
+                j = sdim
 
             # final extraction
             pairs = sorted(good, key=lambda g: -np.abs(g[1]))
@@ -182,7 +290,13 @@ class JDQZ:
             for lam, th, s, rel in pairs[:self.kmax]:
                 lams.append(lam)
                 betas.append(1.0)
-                vecs.append(V[:, :j] @ s)
+                v = V[:, :j] @ s
+                if cplx:
+                    # fold the real 2N embedding back to a complex
+                    # N-vector (ComplexVector semantics)
+                    half = v.shape[0] // 2
+                    v = v[:half] + 1j * v[half:]
+                vecs.append(v)
             self.eigenvalues = np.asarray(lams)
             self.alpha = np.asarray(lams, dtype=complex)
             self.beta = np.asarray(betas)
@@ -195,7 +309,7 @@ class JDQZ:
 
         log.INFO(f"JDQZ: {self.kmax_converged} converged eigenvalues")
         for lam in self.eigenvalues:
-            log.INFO(f"   lambda = {lam:.8e}")
+            log.INFO(f"   lambda = {lam.real:.8e} + {lam.imag:.8e}i")
         return 0
 
     def save(self, filename: str):

@@ -47,10 +47,10 @@ def default_prec_params() -> ParameterList:
     p.set("Method", "Columns")
     # BGS inner-iteration budget (the reference's per-block solver
     # parameter sublists, ocean_preconditioner_params.xml:427-560)
-    p.set("Saddlepoint iterations", 40)
+    p.set("Saddlepoint iterations", 100)
     p.set("Saddlepoint scheme", "KRYLOV")   # or SI / SL / SR
-    p.set("Auv iterations", 8)
-    p.set("ATS iterations", 8)
+    p.set("Auv iterations", 12)
+    p.set("ATS iterations", 12)
     # MILU (MRILU-analog) knobs
     p.set("MILU drop tolerance", 1e-3)
     p.set("MILU max levels", 12)
@@ -100,6 +100,46 @@ def make_preconditioner(params: ParameterList | dict | None, *,
             return bgs.apply(fac, r, periodic=periodic,
                              nit_spp=nit_spp, nit_uv=nit_uv,
                              nit_ts=nit_ts, spp_scheme=scheme)
+
+        return build, apply
+
+    if method == "Amesos":
+        # sparse-direct factorization of the assembled CSR matrix —
+        # the reference's Ifpack Amesos/Amesos_Klu option
+        # (TRIOS_SolverFactory.C:65-250, and e.g.
+        # test/ocean/ocean_preconditioner_params.xml 'amesos: solver
+        # type = Amesos_Klu').  Host-side like MILU; as a right
+        # preconditioner it makes FGMRES converge in O(1) iterations.
+        from ..ops.stencil import stencil_to_csr, to_flat, from_flat
+        import jax
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        def build(An):
+            data, indices, indptr = stencil_to_csr(
+                np.asarray(An), periodic=periodic)
+            N = len(indptr) - 1
+            A = sp.csr_matrix((data, indices, indptr), shape=(N, N))
+            # tiny Tikhonov shift: the ocean Jacobian is exactly
+            # singular along the pressure checkerboard modes, and an LU
+            # of the exact matrix returns O(1/eps_mach) garbage there;
+            # a relative 1e-10 diagonal shift caps the null-space gain
+            # at ~1e10 while leaving the preconditioner quality intact
+            # (the outer FGMRES deflates those modes anyway)
+            shift = 1e-10 * float(np.abs(data).max())
+            A = A + shift * sp.identity(N, format="csr")
+            return spla.splu(A.tocsc())
+
+        def apply(fac, r):
+            def host_solve(rf):
+                return fac.solve(np.asarray(rf, np.float64)) \
+                    .astype(rf.dtype)
+
+            flat = to_flat(r)
+            z = jax.pure_callback(
+                host_solve,
+                jax.ShapeDtypeStruct(flat.shape, flat.dtype), flat)
+            return from_flat(z, l, m, n)
 
         return build, apply
 

@@ -93,7 +93,8 @@ class Topo:
         log.INFO(f"Topo: initialize leg {self.k} -> {self.k + 1}")
         self.delta = 0.0
         self.state_A = self.model.get_state()
-        self.model.set_land_mask(self.masks[self.k + 1])
+        self.model.set_land_mask(self.masks[self.k + 1],
+                                 file_ghosts=True)
         self.model.compute_mass_matrix()
         self.vecM = self.model.diagB
         self._scale = jnp.where(jnp.abs(self.vecM) < 1e-12, 1.0, 0.0)

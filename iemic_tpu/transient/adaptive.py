@@ -46,6 +46,10 @@ class AdaptiveTransient(Transient):
         while self.time < self.tmax and test_step():
             log.INFO(f"Timestepping: t = "
                      f"{self.time * self.in_years:.6e} y, dt = {self.dt}")
+            # advance the seasonal forcing cycle (THCM::setParameter
+            # 'Time', THCM.C:1883-1903; no-op for constant forcing)
+            if hasattr(self.model, "set_par"):
+                self.model.set_par("Time", self.time + self.dt)
             self.model.set_state(x)
             self.model.init_step(self.dt)
             y = self.newton.run(x)

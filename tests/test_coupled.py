@@ -158,18 +158,37 @@ def test_coupled_newton():
     assert float(jnp.linalg.norm(cpld.get_rhs())) < 1e-6
 
 
-@pytest.mark.skipif(os.environ.get("IEMIC_SLOW") != "1",
-                    reason="slow coupled continuation; set IEMIC_SLOW=1")
 def test_coupled_continuation():
-    """Short Combined Forcing continuation leg activating the coupling
-    (intt_coupled.C pattern)."""
+    """One Combined Forcing continuation step activating the coupling
+    (intt_coupled.C pattern), sized for default CI: a single secant-
+    landed step at loose corrector tolerance on a minimal grid — every
+    layer (sync, coupled Jacobian, block-GS preconditioner with each
+    submodel's own preconditioner, bordered corrector) is exercised."""
     from iemic_tpu.continuation import Continuation
-    cpld = make_coupled(use_seaice=True, comb=0.0)
-    cpld.fgmres_tol = 1e-7
-    cpld.fgmres_iters = 350
+    ocean = Ocean({"THCM": {
+        "Global Grid-Size n": 4, "Global Grid-Size m": 4,
+        "Global Grid-Size l": 3, **BOUNDS,
+        "Coupled Temperature": 1, "Coupled Salinity": 1,
+        "Restoring Salinity Profile": 0,
+        "Starting Parameters": {"Combined Forcing": 0.0,
+                                "Salinity Forcing": 0.1,
+                                "Solar Forcing": 0.5,
+                                "Wind Forcing": 1.0,
+                                "Temperature Forcing": 1.0},
+    }})
+    atmos = Atmosphere({"Global Grid-Size n": 4, "Global Grid-Size m": 4,
+                        **BOUNDS, "Combined Forcing": 0.0})
+    seaice = SeaIce({"Global Grid-Size n": 4, "Global Grid-Size m": 4,
+                     **BOUNDS, "Combined Forcing": 0.0})
+    cpld = CoupledModel(ocean, atmos, seaice,
+                        params={"Use sea ice": True},
+                        solver_params={"FGMRES tolerance": 1e-6,
+                                       "FGMRES iterations": 150})
+    cpld.fgmres_tol = 1e-6
+    cpld.fgmres_iters = 150
     x = cpld.get_state() * 0.0
     cpld.set_state(x)
-    for it in range(15):
+    for it in range(8):
         cpld.compute_rhs()
         if float(jnp.linalg.norm(cpld.get_rhs())) < 1e-8:
             break
@@ -180,13 +199,13 @@ def test_coupled_continuation():
         "continuation parameter": "Combined Forcing",
         "initial step size": 5.0e-3,
         "minimum step size": 1.0e-8,
-        "maximum step size": 2.0e-2,
-        "destination 0": 0.01,
-        "Newton tolerance": 1.0e-4,
+        "maximum step size": 5.0e-3,
+        "destination 0": 0.005,
+        "Newton tolerance": 1.0e-3,
         "destination tolerance": 1.0e-6,
-        "maximum Newton iterations": 10,
+        "maximum Newton iterations": 6,
         "predictor bound": 1e4,
     })
     result = cont.run()
     assert result.status == 0
-    assert abs(cpld.get_par("Combined Forcing") - 0.01) < 1e-6
+    assert abs(cpld.get_par("Combined Forcing") - 0.005) < 1e-6

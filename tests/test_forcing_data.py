@@ -127,3 +127,47 @@ def test_wind_file_roundtrip(tmp_path):
     np.testing.assert_allclose(ty, 0.5, atol=1e-6)
     lat_v = g.yv[1:] * 180.0 / np.pi
     np.testing.assert_allclose(tx.mean(axis=1), 0.01 * lat_v, atol=1e-3)
+
+
+def test_time_dependent_forcing_cycle():
+    """'Time Dependent Forcing' + 'Time' parameter drive the seasonal
+    interpolation of the data-driven surface fields (THCM::setParameter
+    param==0, THCM.C:1883-1914 + m_monthly update_forcing)."""
+    import jax.numpy as jnp
+    from iemic_tpu.models.ocean import Ocean
+
+    ocean = Ocean({"THCM": {
+        "Global Grid-Size n": 4, "Global Grid-Size m": 4,
+        "Global Grid-Size l": 3,
+        "Levitus S": 0,              # data-driven salinity flux
+        "Time Dependent Forcing": True,
+        "Starting Parameters": {"Combined Forcing": 1.0,
+                                "Salinity Forcing": 1.0},
+    }})
+    assert ocean.monthly_forcing is not None
+    mf = ocean.monthly_forcing
+    m, n = 4, 4
+    # install a seasonal salinity-flux cycle: month k has amplitude k
+    mf.memip = np.stack([np.full((m, n), float(k)) for k in range(12)])
+    mf.mtaux = np.zeros((12, m, n))
+    mf.mtauy = np.zeros((12, m, n))
+    mf.mtatm = np.zeros((12, m, n))
+
+    ocean.set_par("Time", 0.0)
+    e0 = np.asarray(ocean.fields.emip).mean()
+    from iemic_tpu.models.ocean.forcing_data import (SECS_PER_YEAR,
+                                                      R0DIM, UDIM)
+    year_nd = SECS_PER_YEAR / (R0DIM / UDIM)
+    ocean.set_par("Time", 0.5 * year_nd)
+    e6 = np.asarray(ocean.fields.emip).mean()
+    assert e6 > e0   # mid-year months have larger amplitude
+    # the rhs must feel the season (emip enters the S surface forcing)
+    ocean.compute_rhs()
+    r_mid = np.asarray(ocean.rhs).copy()
+    ocean.set_par("Time", 0.0)
+    ocean.compute_rhs()
+    r_jan = np.asarray(ocean.rhs)
+    assert np.abs(r_mid - r_jan).max() > 1e-8
+    # negative time resets to constant (annual) forcing
+    ocean.set_par("Time", -1.0)
+    assert np.allclose(np.asarray(ocean.fields.emip), 0.0)

@@ -82,3 +82,59 @@ def test_global_mask_loads():
     interior = raw[1:13, 1:39, 1:97]
     frac = (interior == 1).mean()
     assert 0.05 < frac < 0.5          # continents exist, mostly ocean
+
+
+def test_depth_to_land_pipeline():
+    """depth3land + fillbays + flood (topo.F90:136-177): bathymetry to
+    a mask with bays removed and disconnected pockets landed."""
+    from iemic_tpu.grid import make_grid
+    from iemic_tpu.models.ocean import landmask as lmk
+    from iemic_tpu.ops.stencil import OCEAN, LAND
+
+    grid = make_grid(12, 10, 4, xmin_deg=0.0, xmax_deg=60.0,
+                     ymin_deg=-30.0, ymax_deg=30.0, hdim=4000.0)
+    depth = np.full((10, 12), -4000.0)
+    depth[:, 0:2] = 100.0              # a continent (floor above sea)
+    depth[4:6, 5:7] = -2900.0          # a shelf (3 of 4 levels wet)
+    depth[0, 11] = -4000.0
+    raw = lmk.depth_to_land(depth, grid)
+    inner = raw[1:5, 1:11, 1:13]
+    # continent is land at every depth
+    assert np.all(inner[:, :, 0:2] == LAND)
+    # deep basin is ocean at the surface
+    assert inner[3, 7, 7] == OCEAN
+    # the shelf: ocean above the floor, land below it
+    assert inner[3, 4, 5] == OCEAN
+    assert inner[1, 4, 5] == OCEAN
+    assert inner[0, 4, 5] == LAND
+    # no WATER left (all pockets resolved)
+    assert not np.any(raw == 2)
+
+
+def test_miocene_continents():
+    from iemic_tpu.grid import make_grid
+    from iemic_tpu.models.ocean import landmask as lmk
+    from iemic_tpu.ops.stencil import OCEAN, LAND
+
+    grid = make_grid(36, 18, 4, xmin_deg=0.0, xmax_deg=360.0,
+                     ymin_deg=-80.0, ymax_deg=80.0)
+    raw = lmk.miocene(grid)
+    inner = raw[1:5, 1:19, 1:37]
+    assert (inner == LAND).any() and (inner == OCEAN).any()
+    # south america block: x in (250, 315) deg, y in (-60, 0)
+    i = int((282 - 5) / 10)   # cell centers at 5,15,...
+    j = int((-30 + 80 - 4.44) / (160 / 18))
+    assert inner[0, j, i] == LAND
+
+
+def test_ocean_miocene_topography_option():
+    from iemic_tpu.models.ocean import Ocean
+    ocean = Ocean({"THCM": {
+        "Global Grid-Size n": 16, "Global Grid-Size m": 8,
+        "Global Grid-Size l": 3,
+        "Global Bound xmin": 0.0, "Global Bound xmax": 360.0,
+        "Global Bound ymin": -80.0, "Global Bound ymax": 80.0,
+        "Periodic": True, "Topography": 2,
+    }})
+    ocean.compute_rhs()
+    assert np.isfinite(float(np.linalg.norm(np.asarray(ocean.rhs))))

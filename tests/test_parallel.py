@@ -84,3 +84,75 @@ def test_surface_and_gather():
     fs = dom.shard_surface(f)
     np.testing.assert_array_equal(dom.gather(fs), np.asarray(f))
     assert dom.local_shape == (4, 2)
+
+
+def _masked_ocean(n=8, m=8, l=4):
+    from iemic_tpu.models.ocean import Ocean
+    from iemic_tpu.models.ocean import landmask as lmk
+    ocean = Ocean({"THCM": {
+        "Global Grid-Size n": n, "Global Grid-Size m": m,
+        "Global Grid-Size l": l, "Periodic": True,
+        "Starting Parameters": {"Combined Forcing": 0.3,
+                                "Temperature Forcing": 10.0,
+                                "Wind Forcing": 1.0},
+    }})
+    landm = ocean.landm.copy()
+    landm[1:, 3:5, 3:6] = 1          # a continent
+    ocean.set_land_mask(lmk.finalize_mask(landm, ocean.grid, True),
+                        finalized=True)
+    return ocean
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (2, 4), (4, 2), (1, 8)])
+def test_sharded_preconditioned_solve_equivalence(shape):
+    """The FULL preconditioned solve (shard_map halo matvec + GSPMD
+    block-GS preconditioner + global deflation) converges identically
+    on every mesh decomposition — the np in {1,2,4,8} regression of the
+    reference (src/tests/CMakeLists.txt:77-87), upgraded from matvec
+    equivalence to a converged BGS-preconditioned solve."""
+    from iemic_tpu.parallel import Domain
+    from iemic_tpu.parallel.halo import make_sharded_solve
+
+    ocean = _masked_ocean()
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(0.01 * rng.standard_normal(ocean.state.shape))
+    ocean.set_state(x)
+    ocean.compute_rhs()
+    ocean.compute_jacobian()
+    An, b = ocean.jac, -ocean.rhs
+
+    dom = Domain(ocean.cfg.n, ocean.cfg.m, ocean.cfg.l, periodic=True,
+                 shape=shape)
+    solve = make_sharded_solve(ocean, dom)
+    z, iters, relres = solve(dom.shard_stencil(An), dom.shard_state(b),
+                             jnp.asarray(1e-10), 300)
+    # converged, and matching the single-device reference solve
+    assert float(relres) < 1e-9
+    r = ocean.apply_matrix(jnp.asarray(np.asarray(z))) - b
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    assert rel < 1e-8, f"true residual {rel} on mesh {shape}"
+
+
+def test_sharded_newton_step_equivalence():
+    """One full Newton step (rhs + jac + preconditioned solve + update)
+    on 1 vs 8 devices agrees to solver tolerance."""
+    from iemic_tpu.parallel import Domain, make_sharded_ops
+
+    ocean = _masked_ocean()
+    rng = np.random.default_rng(13)
+    x0 = jnp.asarray(0.01 * rng.standard_normal(ocean.state.shape))
+
+    results = []
+    for shape in [(1, 1), (2, 4)]:
+        dom = Domain(ocean.cfg.n, ocean.cfg.m, ocean.cfg.l,
+                     periodic=True, shape=shape)
+        ops = make_sharded_ops(ocean, dom)
+        xs = dom.shard_state(x0)
+        F = ops["rhs"](xs, ocean.par)
+        An = ops["jac"](xs, ocean.par)
+        z, iters, relres = ops["solve"](An, -F, jnp.asarray(1e-10), 300)
+        results.append(np.asarray(xs + z))
+    # decomposition changes reduction order; agreement is bounded by
+    # the solver tolerance amplified by the system's conditioning
+    np.testing.assert_allclose(results[0], results[1],
+                               rtol=1e-4, atol=1e-7)

@@ -1,0 +1,84 @@
+"""Golden-state regression against the reference's own fixture.
+
+Mirrors src/tests/reft_ocean.C:33-80 exactly: run the fixed
+continuation of test/ocean/reft_continuation_params.xml (Combined
+Forcing 0 -> 0.02 on the 16x16x16 mask_gateway configuration), then
+compare the norms of the fields that are not defined up to a constant
+(u, v, T, S) against the reference's ocean_reference.h5 to the
+reference's own tolerance (EXPECT_NEAR(.., .., 1e-3)).
+
+Reads the fixture/mask/golden data in place from /root/reference (the
+reference tree is mounted read-only); skipped when absent.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+REF = "/root/reference"
+FIX = os.path.join(REF, "test", "ocean")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIX, "ocean_reference.h5")),
+    reason="reference fixture tree not mounted")
+
+
+def _load_golden():
+    import h5py
+    with h5py.File(os.path.join(FIX, "ocean_reference.h5"), "r") as f:
+        state = np.asarray(f["State"]["Values"]).reshape(-1)
+        pars = {k: float(np.asarray(f["Parameters"][k]))
+                for k in f["Parameters"]}
+    return state, pars
+
+
+def _make_ocean():
+    from iemic_tpu.config import read_xml
+    from iemic_tpu.models.ocean import Ocean
+    from iemic_tpu.models.ocean.ocean import default_thcm_params
+
+    ref = read_xml(os.path.join(FIX, "reft_ocean_params.xml"))
+    t = ref.sublist("THCM")
+    defaults = default_thcm_params()
+    thcm = {}
+    for k, v in t.items():
+        if k == "Starting Parameters":
+            thcm[k] = dict(t.sublist(k).items())
+        elif k in defaults:
+            thcm[k] = v
+    # the reference solves this fixture with Belos FGMRES(tol 1e-6) +
+    # BlockPreconditioner backed by ML/MRILU/Amesos_Klu subsolvers
+    # (test/ocean/ocean_preconditioner_params.xml, solver_params.xml);
+    # the sparse-direct Amesos preconditioner is the CPU-parity choice
+    ocean = Ocean({"THCM": thcm},
+                  solver_params={"FGMRES tolerance": 1e-6,
+                                 "FGMRES iterations": 100,
+                                 "Preconditioning": "Amesos"},
+                  data_dir=os.path.join(REF, "data"))
+    return ocean
+
+
+def test_reft_ocean_golden():
+    from iemic_tpu.config import read_xml
+    from iemic_tpu.continuation import Continuation
+
+    ocean = _make_ocean()
+    pars = dict(read_xml(os.path.join(
+        FIX, "reft_continuation_params.xml")).items())
+    result = Continuation(ocean, pars).run()
+    assert result.status == 0
+    assert abs(ocean.get_par("Combined Forcing") - 0.02) < 1e-3
+
+    golden, gpars = _load_golden()
+    x = np.asarray(ocean.to_flat()).reshape(-1)
+    assert x.shape == golden.shape
+
+    # compare norms of u, v, T, S (reference unknowns {1,2,5,6},
+    # reft_ocean.C:58-80); p (and w) are gauge fields
+    for var, name in [(0, "u"), (1, "v"), (4, "T"), (5, "S")]:
+        nx = np.linalg.norm(x[var::6])
+        ng = np.linalg.norm(golden[var::6])
+        assert abs(nx - ng) < 1e-3, \
+            f"{name}: |x|={nx:.6f} vs golden {ng:.6f}"

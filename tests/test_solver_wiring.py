@@ -79,3 +79,10 @@ def test_prec_factors_reused_across_solves():
     ocean.compute_jacobian()
     fac3, _ = ocean._get_prec_factors()
     assert fac3 is not fac1
+
+
+def test_amesos_host():
+    """Amesos (sparse-direct, the Ifpack Amesos_Klu analog) reachable
+    from the solver config; FGMRES converges in O(1) iterations."""
+    ocean = _solve_check({"Preconditioning": "Amesos"})
+    assert ocean.solve_iters <= 5
