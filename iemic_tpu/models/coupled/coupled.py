@@ -177,91 +177,130 @@ class CoupledModel:
     # ------------------------------------------------------------------
     # pure cross-coupling maps (for autodiff coupling blocks)
     # ------------------------------------------------------------------
-    def _ocean_rhs_from_fields(self, xo, fields):
+    def _ocean_rhs_from_fields(self, xo, fields, aux):
         """F_ocean with the nonlinear tensor cached (it depends only on
         the ocean state, not on coupling fields), so coupling-block
         jvps skip the expensive advective-atom assembly."""
         o = self.ocean
-        if getattr(self, "_nl_cache", None) is None:
-            self._nl_cache = o._nl_fn(xo, o.par)
-        An = o._an_rhs_fn(self._nl_cache, o.par, fields, o.cpl)
-        return o._rhs_from_parts_fn(An, xo, o.par, fields, o.cpl,
-                                    o.int_correction)
+        nl, atoms, opar, _, ocpl, oic = aux
+        An = o._an_rhs_impl(atoms, nl, opar, fields, ocpl)
+        return o._rhs_from_parts_fn(An, xo, opar, fields, ocpl, oic)
 
-    def _ocean_rhs_of_atmos(self, xo, xa):
+    def _ocean_aux(self):
+        o = self.ocean
+        if getattr(self, "_nl_cache", None) is None:
+            self._nl_cache = o._nl_fn(o.get_state(), o.par)
+        return (self._nl_cache, o.atoms, o.par, o.fields, o.cpl,
+                o.int_correction)
+
+    def _ocean_rhs_of_atmos(self, xo, xa, aux):
         """F_ocean as a function of the atmosphere state."""
-        o, a = self.ocean, self.atmos
+        a = self.atmos
         fa, P = a.split(xa)
-        fields = o.fields._replace(
+        fields = aux[3]._replace(
             tatm=fa[0], qatm=fa[1], albe=fa[2],
             patm=jnp.full((a.m, a.n), P))
-        return self._ocean_rhs_from_fields(xo, fields)
+        return self._ocean_rhs_from_fields(xo, fields, aux)
 
-    def _ocean_rhs_of_seaice(self, xo, xi):
-        o, s = self.ocean, self.seaice
+    def _ocean_rhs_of_seaice(self, xo, xi, aux):
+        s = self.seaice
         fi, G = s.split(xi)
-        fields = o.fields._replace(qsa=fi[1], msi=fi[2],
-                                   gsi=jnp.full((s.m, s.n), G))
-        return self._ocean_rhs_from_fields(xo, fields)
+        fields = aux[3]._replace(qsa=fi[1], msi=fi[2],
+                                 gsi=jnp.full((s.m, s.n), G))
+        return self._ocean_rhs_from_fields(xo, fields, aux)
 
-    def _atmos_rhs_of_ocean(self, xa, xo):
+    def _atmos_rhs_of_ocean(self, xa, xo, aux):
         a, o = self.atmos, self.ocean
+        par, sit, msi, Ooa, Os = aux
         sst = xo[4, o.grid.l - 1]
-        return a._rhs_fn(xa, a.par, sst, a.sit, a.msi, a.Ooa, a.Os)
+        return a._rhs_fn(xa, par, sst, sit, msi, Ooa, Os)
 
-    def _atmos_rhs_of_seaice(self, xa, xi):
+    def _atmos_aux_of_ocean(self):
+        a = self.atmos
+        return (a.par, a.sit, a.msi, a.Ooa, a.Os)
+
+    def _atmos_rhs_of_seaice(self, xa, xi, aux):
         a, s = self.atmos, self.seaice
+        par, sst, Ooa, Os = aux
         fi, G = s.split(xi)
-        return a._rhs_fn(xa, a.par, a.sst, fi[3], fi[2], a.Ooa, a.Os)
+        return a._rhs_fn(xa, par, sst, fi[3], fi[2], Ooa, Os)
 
-    def _seaice_rhs_of_ocean(self, xi, xo):
+    def _atmos_aux_of_seaice(self):
+        a = self.atmos
+        return (a.par, a.sst, a.Ooa, a.Os)
+
+    def _seaice_rhs_of_ocean(self, xi, xo, aux):
         s, o = self.seaice, self.ocean
+        par, tatm, qatm, patm, albe, pQSnd = aux
         sst = xo[4, o.grid.l - 1]
         sss = xo[5, o.grid.l - 1]
-        return s._rhs_fn(xi, s.par, sst, sss, s.tatm, s.qatm, s.patm,
-                         s.albe, s.pQSnd)
+        return s._rhs_fn(xi, par, sst, sss, tatm, qatm, patm,
+                         albe, pQSnd)
 
-    def _seaice_rhs_of_atmos(self, xi, xa):
+    def _seaice_aux_of_ocean(self):
+        s = self.seaice
+        return (s.par, s.tatm, s.qatm, s.patm, s.albe, s.pQSnd)
+
+    def _seaice_rhs_of_atmos(self, xi, xa, aux):
         s, a = self.seaice, self.atmos
+        par, sst, sss, pQSnd = aux
         fa, P = a.split(xa)
-        return s._rhs_fn(xi, s.par, s.sst, s.sss, fa[0], fa[1],
-                         jnp.full((a.m, a.n), P), fa[2], s.pQSnd)
+        return s._rhs_fn(xi, par, sst, sss, fa[0], fa[1],
+                         jnp.full((a.m, a.n), P), fa[2], pQSnd)
+
+    def _seaice_aux_of_atmos(self):
+        s = self.seaice
+        return (s.par, s.sst, s.sss, s.pQSnd)
 
     def _cross_map(self, i, j):
-        """Map (x_i, x_j) -> F_i for model pair (i, j), or None."""
+        """(pure map (x_i, x_j, aux) -> F_i, aux getter) for model
+        pair (i, j), or None.  The aux pytree carries every
+        linearization-point quantity the map reads besides the two
+        states, so the jitted tangent (coupling_apply) compiles ONCE
+        per pair and is refreshed per Jacobian by passing new aux."""
         key = (type(self.models[i]).__name__,
                type(self.models[j]).__name__)
         table = {
-            ("Ocean", "Atmosphere"): self._ocean_rhs_of_atmos,
-            ("Ocean", "SeaIce"): self._ocean_rhs_of_seaice,
-            ("Atmosphere", "Ocean"): self._atmos_rhs_of_ocean,
-            ("Atmosphere", "SeaIce"): self._atmos_rhs_of_seaice,
-            ("SeaIce", "Ocean"): self._seaice_rhs_of_ocean,
-            ("SeaIce", "Atmosphere"): self._seaice_rhs_of_atmos,
+            ("Ocean", "Atmosphere"):
+                (self._ocean_rhs_of_atmos, self._ocean_aux),
+            ("Ocean", "SeaIce"):
+                (self._ocean_rhs_of_seaice, self._ocean_aux),
+            ("Atmosphere", "Ocean"):
+                (self._atmos_rhs_of_ocean, self._atmos_aux_of_ocean),
+            ("Atmosphere", "SeaIce"):
+                (self._atmos_rhs_of_seaice, self._atmos_aux_of_seaice),
+            ("SeaIce", "Ocean"):
+                (self._seaice_rhs_of_ocean, self._seaice_aux_of_ocean),
+            ("SeaIce", "Atmosphere"):
+                (self._seaice_rhs_of_atmos, self._seaice_aux_of_atmos),
         }
         return table.get(key)
 
     def coupling_apply(self, i, j, v_j):
         """C_ij v_j by forward-mode autodiff at the current states.
 
-        The coupling map is LINEARIZED once per Jacobian refresh and
-        the jitted tangent closure reused across every Krylov iteration
-        (re-tracing jax.jvp per matvec dominated the coupled solve
-        cost); the cache is dropped by compute_jacobian/set_state, the
-        same lifetime as the reference's CouplingBlock CRS refresh
-        (CoupledModel.C:236-259)."""
-        fn = self._cross_map(i, j)
-        if fn is None:
+        The tangent of the cross-coupling map replaces the reference's
+        FD-probed CouplingBlock CRS matrices (CoupledModel.C:236-259).
+        The jitted jvp takes the linearization point (states + aux
+        pytree) as ARGUMENTS, so it is traced/compiled once per pair
+        for the whole run; earlier revisions re-jitted a fresh
+        closure after every Jacobian refresh, which re-traced the full
+        ocean RHS per Newton iteration (~15 s each on the coupled
+        e2e) and dominated the coupled continuation cost."""
+        entry = self._cross_map(i, j)
+        if entry is None:
             return None
-        cache = getattr(self, "_coupling_lin", None)
-        if cache is None:
-            cache = self._coupling_lin = {}
-        if (i, j) not in cache:
-            x_i = self.models[i].get_state()
-            x_j = self.models[j].get_state()
-            _, f_jvp = jax.linearize(lambda z: fn(x_i, z), x_j)
-            cache[(i, j)] = jax.jit(f_jvp)
-        return cache[(i, j)](v_j)
+        fn, get_aux = entry
+        jit_cache = getattr(self, "_coupling_jit", None)
+        if jit_cache is None:
+            jit_cache = self._coupling_jit = {}
+        jfn = jit_cache.get((i, j))
+        if jfn is None:
+            def jfn_impl(xi, xj, aux, v, _fn=fn):
+                return jax.jvp(lambda z: _fn(xi, z, aux), (xj,), (v,))[1]
+            jfn = jit_cache[(i, j)] = jax.jit(jfn_impl)
+        return jfn(self.models[i].get_state(),
+                   self.models[j].get_state(), get_aux(), v_j)
 
     # ------------------------------------------------------------------
     # Model contract
@@ -275,7 +314,6 @@ class CoupledModel:
     def compute_jacobian(self):
         if self.solving_scheme != "D":
             self.synchronize()
-        self._coupling_lin = {}          # relinearize coupling blocks
         for m in self.models:
             m.compute_jacobian()
         # refresh the cached ocean nonlinear tensor for coupling jvps
@@ -377,17 +415,38 @@ class CoupledModel:
             return z
         return m.solve(b)
 
+    def _project_ocean_null(self, v):
+        """Project the ocean's pressure null modes (constant +
+        checkerboard, THCM::getNullSpace) out of the ocean block of a
+        flat coupled vector.  The reference's coupled matrix is
+        nonsingular because THCM pins pressure points with Dirichlet
+        rows (THCM.C:2201); here the ocean uses deflation instead
+        (Ocean.solve), and the coupled Krylov solve must deflate the
+        same modes or the correction picks up unbounded null
+        components (observed ||dx|| ~ 1e7 in the coupled corrector)."""
+        if self.ocean is None:
+            return v
+        q = self.ocean._get_deflator()
+        if q is None:
+            return v
+        no = self._offsets[1]
+        vo = v[:no]
+        vo = vo - q @ (q.T @ vo)
+        return jnp.concatenate([vo, v[no:]])
+
     def solve(self, b):
         """Coupled FGMRES (CoupledModel.C:354-433), host-driven like
         the reference's Belos-on-BelosOp setup."""
         from ...solvers.fgmres import fgmres_host
         with log.timer("CoupledModel: solve"):
             flat_b = b if b.ndim == 1 else b.reshape(-1)
-            _, res = fgmres_host(self.apply_matrix, flat_b,
-                                 prec=self.apply_precon,
-                                 tol=self.fgmres_tol,
-                                 maxiter=self.fgmres_iters)
-        self.sol = res.x
+            proj = self._project_ocean_null
+            _, res = fgmres_host(
+                lambda v: proj(self.apply_matrix(v)), proj(flat_b),
+                prec=lambda v: proj(self.apply_precon(v)),
+                tol=self.fgmres_tol,
+                maxiter=self.fgmres_iters)
+        self.sol = self._project_ocean_null(res.x)
         self.solve_iters = int(res.iters)
         log.track_iterations("CoupledModel: FGMRES iterations...",
                              self.solve_iters)
@@ -401,7 +460,6 @@ class CoupledModel:
 
     def set_state(self, x):
         self._nl_cache = None
-        self._coupling_lin = {}
         for m, p in zip(self.models, self.split(x)):
             m.set_state(p)
 

@@ -47,9 +47,18 @@ def usol(x: jnp.ndarray, landm: np.ndarray, periodic: bool,
     ksl, jsl, isl = slice(1, l + 1), slice(1, m + 1), slice(1, n + 1)
 
     # -- x-direction ghosts (k=1..l, j=1..m) --------------------------
+    # NOTE: the U/V periodic ghost copy happens at the END of this
+    # function, after wall zeroing and land masking.  The reference
+    # copies first (usrc.F90:1030-1034) and zeroes the northern wall
+    # only for i=1..n (:1058-1060), which leaves the stale state value
+    # of u(n,m) in the ghost u(0,m) — a dependency of the RHS that its
+    # own Jacobian assembly drops (boundaries() zeroes stencil slots
+    # pointing at wall velocity points).  Copying ghosts from the
+    # already-zeroed/masked columns keeps RHS and Jacobian exactly
+    # consistent (Newton quadratic convergence at wrap corners) and
+    # agrees with the reference at every steady state, where the wall
+    # rows force those points to zero anyway.
     if periodic:
-        U = U.at[ksl, jsl, 0].set(U[ksl, jsl, n])
-        V = V.at[ksl, jsl, 0].set(V[ksl, jsl, n])
         W = W.at[ksl, jsl, n + 1].set(W[ksl, jsl, 1])
         W = W.at[ksl, jsl, 0].set(W[ksl, jsl, n])
         P = P.at[ksl, jsl, n + 1].set(P[ksl, jsl, 1])
@@ -106,6 +115,11 @@ def usol(x: jnp.ndarray, landm: np.ndarray, periodic: bool,
     keep = jnp.asarray(~zero, dtype)
     U = U.at[1:l + 1].multiply(keep)
     V = V.at[1:l + 1].multiply(keep)
+
+    # -- x-periodic velocity ghosts, from the masked/zeroed columns ---
+    if periodic:
+        U = U.at[:, :, 0].set(U[:, :, n])
+        V = V.at[:, :, 0].set(V[:, :, n])
 
     return U, V, W, P, T, S
 

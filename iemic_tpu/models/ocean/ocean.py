@@ -505,6 +505,10 @@ class Ocean:
         self._nl_fn = jax.jit(_nl)
         self._an_rhs_fn = (lambda Nl, par, fields, cpl:
                            _an_rhs_jit(self.atoms, Nl, par, fields, cpl))
+        # atoms-explicit variant for callers that trace this inside a
+        # larger jit (CoupledModel.coupling_apply) and must pass the
+        # atoms as an argument rather than bake them as constants
+        self._an_rhs_impl = _an_rhs_jit
         self._rhs_from_parts_fn = jax.jit(_rhs_from_parts)
         self._jac_fn = (lambda x, par, fields, cpl:
                         _jac_jit(self.atoms, x, par, fields, cpl))

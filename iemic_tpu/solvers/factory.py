@@ -51,6 +51,7 @@ def default_prec_params() -> ParameterList:
     p.set("Saddlepoint scheme", "KRYLOV")   # or SI / SL / SR
     p.set("Auv iterations", 12)
     p.set("ATS iterations", 12)
+    p.set("Teko sweeps", 1)
     # MILU (MRILU-analog) knobs
     p.set("MILU drop tolerance", 1e-3)
     p.set("MILU max levels", 12)
@@ -100,6 +101,23 @@ def make_preconditioner(params: ParameterList | dict | None, *,
             return bgs.apply(fac, r, periodic=periodic,
                              nit_spp=nit_spp, nit_uv=nit_uv,
                              nit_ts=nit_ts, spp_scheme=scheme)
+
+        return build, apply
+
+    if method == "Teko":
+        # the experimental Teko/Rearranger path (reference
+        # src/ocean/TekoPreconditioner.H:39-88, Rearranger.H:23-60):
+        # block-GS over the rearranged ([u,v,w,p] | [T,S]) groups with
+        # batched column inverse factories per group
+        from . import rearranger
+        sweeps = params.get("Teko sweeps")
+
+        def build(An):
+            return rearranger.build(An, periodic=periodic)
+
+        def apply(fac, r):
+            return rearranger.apply(fac, r, periodic=periodic,
+                                    sweeps=sweeps)
 
         return build, apply
 

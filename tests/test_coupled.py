@@ -159,53 +159,54 @@ def test_coupled_newton():
 
 
 def test_coupled_continuation():
-    """One Combined Forcing continuation step activating the coupling
-    (intt_coupled.C pattern), sized for default CI: a single secant-
-    landed step at loose corrector tolerance on a minimal grid — every
-    layer (sync, coupled Jacobian, block-GS preconditioner with each
-    submodel's own preconditioner, bordered corrector) is exercised."""
+    """Two Combined-Forcing continuation steps of the full coupled
+    system — the reference's coupled continuation test pattern
+    (src/tests/intt_coupled.C:372-400 with
+    test/coupled/continuation_params.xml: 'maximum number of steps' 2,
+    state tangent scaling 1e-3, Newton tol 1e-5), run from the
+    COMB = 0 equilibrium (the sea-ice background-flux balance that
+    test_coupled_newton verifies).  Every layer is exercised: sync,
+    coupled Jacobian, coupling-block jvps, block-GS preconditioner
+    with each submodel's own preconditioner, bordered corrector,
+    Seydel step control.
+
+    Near COMB = 0 the coupled Jacobian carries a genuinely
+    near-singular salinity-overturning mode (smallest sv ~1e-4..1e-7
+    measured by dense SVD), so dstate/dpar is huge and the arclength
+    steps are state-dominated — the reference's own test therefore
+    only asserts that two steps complete (status 0), not a parameter
+    displacement, and so does this one."""
     from iemic_tpu.continuation import Continuation
-    ocean = Ocean({"THCM": {
-        "Global Grid-Size n": 4, "Global Grid-Size m": 4,
-        "Global Grid-Size l": 3, **BOUNDS,
-        "Coupled Temperature": 1, "Coupled Salinity": 1,
-        "Restoring Salinity Profile": 0,
-        "Starting Parameters": {"Combined Forcing": 0.0,
-                                "Salinity Forcing": 0.1,
-                                "Solar Forcing": 0.5,
-                                "Wind Forcing": 1.0,
-                                "Temperature Forcing": 1.0},
-    }})
-    atmos = Atmosphere({"Global Grid-Size n": 4, "Global Grid-Size m": 4,
-                        **BOUNDS, "Combined Forcing": 0.0})
-    seaice = SeaIce({"Global Grid-Size n": 4, "Global Grid-Size m": 4,
-                     **BOUNDS, "Combined Forcing": 0.0})
-    cpld = CoupledModel(ocean, atmos, seaice,
-                        params={"Use sea ice": True},
-                        solver_params={"FGMRES tolerance": 1e-6,
-                                       "FGMRES iterations": 150})
-    cpld.fgmres_tol = 1e-6
-    cpld.fgmres_iters = 150
+    cpld = make_coupled(use_seaice=True, comb=0.0)
+    cpld.fgmres_tol = 1e-7
+    cpld.fgmres_iters = 350
     x = cpld.get_state() * 0.0
     cpld.set_state(x)
-    for it in range(8):
+    # spinup: plain Newton onto the COMB=0 equilibrium (the role of
+    # the reference's spun-up fixture states)
+    for it in range(15):
         cpld.compute_rhs()
         if float(jnp.linalg.norm(cpld.get_rhs())) < 1e-8:
             break
         cpld.compute_jacobian()
         cpld.set_state(cpld.get_state() + cpld.solve(-cpld.get_rhs()))
+    cpld.compute_rhs()
+    assert float(jnp.linalg.norm(cpld.get_rhs())) < 1e-6
 
     cont = Continuation(cpld, {
         "continuation parameter": "Combined Forcing",
-        "initial step size": 5.0e-3,
+        "initial step size": 1.0e-2,
         "minimum step size": 1.0e-8,
-        "maximum step size": 5.0e-3,
-        "destination 0": 0.005,
-        "Newton tolerance": 1.0e-3,
-        "destination tolerance": 1.0e-6,
-        "maximum Newton iterations": 6,
-        "predictor bound": 1e4,
+        "maximum step size": 1.0e-1,
+        "destination 0": 1.0,
+        "maximum number of steps": 2,
+        "Newton tolerance": 1.0e-5,
+        "destination tolerance": 1.0e-7,
+        "maximum Newton iterations": 5,
+        "state tangent scaling": 1.0e-3,
+        "normalize strategy": "N",
+        "predictor bound": 3000.0,
     })
     result = cont.run()
     assert result.status == 0
-    assert abs(cpld.get_par("Combined Forcing") - 0.005) < 1e-6
+    assert result.steps == 2
