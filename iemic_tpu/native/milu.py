@@ -54,7 +54,7 @@ def _load():
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             ctypes.c_double, ctypes.c_double,
-            ctypes.c_int32, ctypes.c_int32]
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
         lib.milu_solve.restype = ctypes.c_int32
         lib.milu_solve.argtypes = [
             ctypes.c_int64,
@@ -65,6 +65,16 @@ def _load():
         lib.milu_levels.argtypes = [ctypes.c_int64]
         lib.milu_destroy.restype = None
         lib.milu_destroy.argtypes = [ctypes.c_int64]
+        lib.milu_gmres.restype = ctypes.c_int32
+        lib.milu_gmres.argtypes = [
+            ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double)]
         _LIB = lib
         return lib
 
@@ -74,19 +84,41 @@ class MILU:
 
     def __init__(self, data, indices, indptr, *, droptol: float = 1e-3,
                  dominance: float = 0.1, max_levels: int = 12,
-                 min_coarse: int = 64):
+                 min_coarse: int = 64, use_cmk: bool = True):
         lib = _load()
         data = np.ascontiguousarray(data, np.float64)
         indices = np.ascontiguousarray(indices, np.int32)
         indptr = np.ascontiguousarray(indptr, np.int64)
         self.n = len(indptr) - 1
+        self._csr = (data, indices, indptr)   # kept for the gmres driver
         self._handle = lib.milu_factor(
             self.n, indptr, indices, data,
             float(droptol), float(dominance),
-            int(max_levels), int(min_coarse))
+            int(max_levels), int(min_coarse), int(bool(use_cmk)))
         if self._handle == 0:
             raise RuntimeError("milu_factor failed")
         self.levels = int(lib.milu_levels(self._handle))
+
+    def gmres(self, b: np.ndarray, *, tol: float = 1e-8,
+              maxiter: int = 500, restart: int = 30,
+              x0: np.ndarray | None = None):
+        """Native right-preconditioned restarted GMRES on the factored
+        matrix — the MRILU solver-driver analog (mrilu/precon/
+        gmres.F90).  Returns (x, iters, relres)."""
+        lib = _load()
+        data, indices, indptr = self._csr
+        b = np.ascontiguousarray(b, np.float64).reshape(-1)
+        if b.shape[0] != self.n:
+            raise ValueError(f"size mismatch: {b.shape[0]} != {self.n}")
+        x = (np.zeros_like(b) if x0 is None
+             else np.ascontiguousarray(x0, np.float64).copy())
+        relres = ctypes.c_double(0.0)
+        it = lib.milu_gmres(self._handle, self.n, indptr, indices, data,
+                            b, x, float(tol), int(maxiter), int(restart),
+                            ctypes.byref(relres))
+        if it < 0:
+            raise RuntimeError("milu_gmres: bad handle")
+        return x, int(it), float(relres.value)
 
     def solve(self, b: np.ndarray) -> np.ndarray:
         lib = _load()

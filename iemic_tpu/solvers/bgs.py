@@ -264,11 +264,21 @@ def _inner_fgmres(matvec, prec, b, tol, maxiter):
 
 
 @partial(jax.jit, static_argnames=("periodic", "nit_spp", "nit_uv",
-                                   "nit_ts", "spp_scheme"))
+                                   "nit_ts", "spp_scheme",
+                                   "permutation", "symmetric"))
 def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
           nit_spp: int = 100, nit_uv: int = 12,
-          nit_ts: int = 12, spp_scheme: str = "KRYLOV") -> jnp.ndarray:
-    """One block-GS sweep z ~= J^{-1} r (SolveLower-style)."""
+          nit_ts: int = 12, spp_scheme: str = "KRYLOV",
+          permutation: int = 1, symmetric: bool = False) -> jnp.ndarray:
+    """Block-GS sweep z ~= J^{-1} r.
+
+    ``permutation`` selects one of the reference's three block
+    orderings M1/M2/M3 (TRIOS_BlockPreconditioner.H:93-99, Arie's
+    thesis p. 104; SolveLower1/2/3,
+    TRIOS_BlockPreconditioner.C:1479-1812); ``symmetric`` appends the
+    SolveUpper backward correction (the 'symmetric Gauss-Seidel'
+    scheme, :1814-1917).
+    """
     An = prec.An
     _, nun, _, l, m, n = An.shape
     buv = r[jnp.array([UU, VV])]
@@ -276,17 +286,20 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
     bp = r[PP][None]
     bts = r[jnp.array([TT, SS])]
 
-    # 1. baroclinic pressure from the hydrostatic (w) rows
-    ytilp = _column_tridiag_solve(
-        An[4][WW:WW + 1, PP:PP + 1],
-        An[13][WW:WW + 1, PP:PP + 1],
-        An[22][WW:WW + 1, PP:PP + 1],
-        bw)
+    # ---- shared sub-solves -------------------------------------------
+    def ap_solve(b):
+        """ytilp = Ap \\ b: hydrostatic column solve (w rows, p col)."""
+        return _column_tridiag_solve(
+            An[4][WW:WW + 1, PP:PP + 1],
+            An[13][WW:WW + 1, PP:PP + 1],
+            An[22][WW:WW + 1, PP:PP + 1], b)
 
-    # 2. depth-averaged saddle point for the barotropic flow
-    # (restriction = layer mean, matching the Spp contraction weights)
-    ruv = buv - _block_apply(An, _UV, jnp.array([PP]), ytilp, periodic)
-    rbar = jnp.concatenate([jnp.mean(ruv, axis=1), jnp.mean(bp, axis=1)])
+    def aw_solve(b):
+        """yw = Aw \\ b: continuity column solve (p rows, w col)."""
+        return _column_tridiag_solve(
+            An[4][PP:PP + 1, WW:WW + 1],
+            An[13][PP:PP + 1, WW:WW + 1],
+            An[22][PP:PP + 1, WW:WW + 1], b)
 
     def spp_mv(v):
         return _apply_2d(prec.Spp, v.reshape(3, m, n),
@@ -315,19 +328,14 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
                 z = z.at[2].add(-jnp.vdot(sv, z[2]) * sv)
             return z.reshape(-1)
 
-    # the barotropic solve is THE long-range coupling: a 2D
-    # iteration costs ~1/l of a 3D matvec, so solve it properly
-    zbar = _inner_fgmres(spp_mv, spp_pc, rbar, 1e-4, nit_spp)
-    zbar = zbar.reshape(3, m, n)
-
-    # 3. full pressure = baroclinic + barotropic, checkerboard-projected
-    yp = ytilp + zbar[2][None, None, :, :]
-    for q in range(2):
-        sv = prec.svp[q]
-        yp = yp - jnp.vdot(sv, yp[0])[None] * sv[None]
-
-    # 4. momentum with the pressure eliminated
-    ruv2 = buv - _block_apply(An, _UV, jnp.array([PP]), yp, periodic)
+    def spp_solve(ruv, rp):
+        """Depth-averaged saddle point: the barotropic long-range
+        coupling — a 2D iteration costs ~1/l of a 3D matvec, so it is
+        solved properly (SppSolver->Iterate)."""
+        rbar = jnp.concatenate([jnp.mean(ruv, axis=1),
+                                jnp.mean(rp, axis=1)])
+        zbar = _inner_fgmres(spp_mv, spp_pc, rbar, 1e-4, nit_spp)
+        return zbar.reshape(3, m, n)
 
     def uv_mv(v):
         return _block_apply(An, _UV, _UV, v.reshape(2, l, m, n),
@@ -337,20 +345,8 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
         return _apply_col_inv(prec.uv_binv,
                               v.reshape(2, l, m, n)).reshape(-1)
 
-    yuv = _inner_fgmres(uv_mv, uv_pc, ruv2, 1e-2, nit_uv)
-
-    # 5. vertical velocity from continuity
-    rw = bp - _block_apply(An, jnp.array([PP]), _UV, yuv, periodic)
-    yw = _column_tridiag_solve(
-        An[4][PP:PP + 1, WW:WW + 1],
-        An[13][PP:PP + 1, WW:WW + 1],
-        An[22][PP:PP + 1, WW:WW + 1],
-        rw)
-
-    # 6. tracers
-    rts = (bts
-           - _block_apply(An, _TS, _UV, yuv, periodic)
-           - _block_apply(An, _TS, jnp.array([WW]), yw, periodic))
+    def auv_solve(b):
+        return _inner_fgmres(uv_mv, uv_pc, b, 1e-2, nit_uv)
 
     def ts_mv(v):
         return _block_apply(An, _TS, _TS, v.reshape(2, l, m, n),
@@ -360,7 +356,85 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
         return _apply_col_inv(prec.ts_binv,
                               v.reshape(2, l, m, n)).reshape(-1)
 
-    yts = _inner_fgmres(ts_mv, ts_pc, rts, 1e-2, nit_ts)
+    def ats_solve(b):
+        return _inner_fgmres(ts_mv, ts_pc, b, 1e-2, nit_ts)
+
+    def prescorr(yp):
+        for q in range(2):
+            sv = prec.svp[q]
+            yp = yp - jnp.vdot(sv, yp[0])[None] * sv[None]
+        return yp
+
+    P_, W_ = jnp.array([PP]), jnp.array([WW])
+
+    # ---- forward sweeps (SolveLower1/2/3) ----------------------------
+    if permutation == 1:
+        # M1: [Ap | Spp | Auv | Aw | ATS] — pressure first, tracers last
+        ytilp = ap_solve(bw)
+        ruv = buv - _block_apply(An, _UV, P_, ytilp, periodic)
+        zbar = spp_solve(ruv, bp)
+        yp = prescorr(ytilp + zbar[2][None, None, :, :])
+        ruv2 = buv - _block_apply(An, _UV, P_, yp, periodic)
+        yuv = auv_solve(ruv2)
+        rw = bp - _block_apply(An, P_, _UV, yuv, periodic)
+        yw = aw_solve(rw)
+        rts = (bts
+               - _block_apply(An, _TS, _UV, yuv, periodic)
+               - _block_apply(An, _TS, W_, yw, periodic))
+        yts = ats_solve(rts)
+    elif permutation == 2:
+        # M2 (SolveLower2): Spp first (no pressure pre-elimination),
+        # then continuity, tracers, and pressure last incl. the BwTS
+        # buoyancy back-coupling
+        zbar = spp_solve(buv, bp)
+        # the reference takes yuv directly from the Spp solution
+        # (depth-averaged); lift it by the 3D momentum solve on buv
+        # corrected with the barotropic pressure gradient
+        pbar3 = jnp.broadcast_to(zbar[2][None, None, :, :],
+                                 (1, l, m, n))
+        ruv2 = buv - _block_apply(An, _UV, P_, pbar3, periodic)
+        yuv = auv_solve(ruv2)
+        rw = bp - _block_apply(An, P_, _UV, yuv, periodic)
+        yw = aw_solve(rw)
+        rts = (bts
+               - _block_apply(An, _TS, _UV, yuv, periodic)
+               - _block_apply(An, _TS, W_, yw, periodic))
+        yts = ats_solve(rts)
+        rp_hydro = bw - _block_apply(An, W_, _TS, yts, periodic)
+        ytilp = ap_solve(rp_hydro)
+        yp = prescorr(ytilp + zbar[2][None, None, :, :])
+    elif permutation == 3:
+        # M3 (SolveLower3): continuity first, then tracers, hydrostatic
+        # pressure (with buoyancy), and the saddle point last
+        yw = aw_solve(bp)
+        rts = bts - _block_apply(An, _TS, W_, yw, periodic)
+        yts = ats_solve(rts)
+        rp_hydro = bw - _block_apply(An, W_, _TS, yts, periodic)
+        ytilp = ap_solve(rp_hydro)
+        ruv = buv - _block_apply(An, _UV, P_, ytilp, periodic)
+        zbar = spp_solve(ruv, bp)
+        yp = prescorr(ytilp + zbar[2][None, None, :, :])
+        ruv2 = buv - _block_apply(An, _UV, P_, yp, periodic)
+        yuv = auv_solve(ruv2)
+    else:
+        raise ValueError(f"BGS: invalid permutation {permutation}")
+
+    # ---- backward correction (SolveUpper, symmetric GS) --------------
+    if symmetric:
+        # x = U \ y with U the strictly-upper coupling of M1:
+        #   zp  = Ap \ (BwTS yTS)
+        #   zuv ~ Auv \ (Guv zp)      (one preconditioner application)
+        #   zw  = Aw \ (Duv zuv)
+        #   xuv = yuv + zuv; xw = yw - zw; xp = yp - zp; xTS = yTS
+        # (TRIOS_BlockPreconditioner.C:1814-1917)
+        zw1 = _block_apply(An, W_, _TS, yts, periodic)
+        zp = ap_solve(zw1)
+        zuv1 = _block_apply(An, _UV, P_, zp, periodic)
+        zuv = _apply_col_inv(prec.uv_binv, zuv1)
+        zw = aw_solve(_block_apply(An, P_, _UV, zuv, periodic))
+        yuv = yuv + zuv
+        yw = yw - zw
+        yp = prescorr(yp - zp)
 
     z = jnp.zeros_like(r)
     z = z.at[UU].set(yuv[0]).at[VV].set(yuv[1])

@@ -51,6 +51,11 @@ def default_prec_params() -> ParameterList:
     p.set("Saddlepoint scheme", "KRYLOV")   # or SI / SL / SR
     p.set("Auv iterations", 12)
     p.set("ATS iterations", 12)
+    # block-GS sweep ordering M1/M2/M3 and GS vs symmetric GS
+    # (TRIOS_BlockPreconditioner.H:93-99 "Permutation",
+    #  :1287-1330 "Scheme")
+    p.set("Permutation", 1)
+    p.set("Scheme", "Gauss-Seidel")   # or "symmetric Gauss-Seidel"
     p.set("Teko sweeps", 1)
     # MILU (MRILU-analog) knobs
     p.set("MILU drop tolerance", 1e-3)
@@ -92,6 +97,8 @@ def make_preconditioner(params: ParameterList | dict | None, *,
         nit_uv = params.get("Auv iterations")
         nit_ts = params.get("ATS iterations")
         scheme = params.get("Saddlepoint scheme")
+        perm = int(params.get("Permutation"))
+        sym = params.get("Scheme") == "symmetric Gauss-Seidel"
 
         def build(An):
             return bgs.build(An, landm, periodic=periodic,
@@ -100,7 +107,8 @@ def make_preconditioner(params: ParameterList | dict | None, *,
         def apply(fac, r):
             return bgs.apply(fac, r, periodic=periodic,
                              nit_spp=nit_spp, nit_uv=nit_uv,
-                             nit_ts=nit_ts, spp_scheme=scheme)
+                             nit_ts=nit_ts, spp_scheme=scheme,
+                             permutation=perm, symmetric=sym)
 
         return build, apply
 

@@ -32,6 +32,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libmilu.so milu.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -66,7 +67,75 @@ struct Factor {
   int nlast = 0;
   std::vector<double> lu;           // row-major n x n
   std::vector<int32_t> piv;
+  // optional Cuthill-McKee pre-ordering (MRILU's preprocessing stage,
+  // reference mrilu/precon: CMK/block orderings before elimination).
+  // cmk[i] = original row id at permuted position i; empty when off.
+  std::vector<int32_t> cmk;
 };
+
+// ---- Cuthill-McKee ordering -------------------------------------------
+// BFS from a minimum-degree seed, visiting neighbors in increasing
+// degree order; repeated per connected component.  Improves the
+// locality of the independent fine sets and reduces Schur fill, the
+// role of MRILU's CMK preprocessing.
+std::vector<int32_t> cmk_order(const CSR& A) {
+  const int n = A.n;
+  std::vector<int32_t> deg(n);
+  for (int i = 0; i < n; ++i)
+    deg[i] = (int32_t)(A.indptr[i + 1] - A.indptr[i]);
+  std::vector<int32_t> order;
+  order.reserve(n);
+  std::vector<char> seen(n, 0);
+  std::vector<int32_t> queue;
+  for (;;) {
+    // seed: unvisited vertex of minimum degree
+    int seed = -1;
+    for (int i = 0; i < n; ++i)
+      if (!seen[i] && (seed < 0 || deg[i] < deg[seed])) seed = i;
+    if (seed < 0) break;
+    queue.clear();
+    queue.push_back(seed);
+    seen[seed] = 1;
+    for (size_t qh = 0; qh < queue.size(); ++qh) {
+      int u = queue[qh];
+      order.push_back(u);
+      // collect unvisited neighbors, sorted by degree
+      std::vector<int32_t> nb;
+      for (int64_t p = A.indptr[u]; p < A.indptr[u + 1]; ++p) {
+        int v = A.indices[p];
+        if (v >= 0 && v < n && !seen[v]) { seen[v] = 1; nb.push_back(v); }
+      }
+      std::sort(nb.begin(), nb.end(),
+                [&](int a, int b) { return deg[a] < deg[b]; });
+      for (int v : nb) queue.push_back(v);
+    }
+  }
+  return order;
+}
+
+// symmetric permutation B = P A P^T with perm[i] = old id at new pos i
+CSR permute_sym(const CSR& A, const std::vector<int32_t>& perm) {
+  const int n = A.n;
+  std::vector<int32_t> inv(n);
+  for (int i = 0; i < n; ++i) inv[perm[i]] = i;
+  CSR B;
+  B.n = n;
+  B.indptr.assign(n + 1, 0);
+  for (int i = 0; i < n; ++i)
+    B.indptr[i + 1] = B.indptr[i]
+        + (A.indptr[perm[i] + 1] - A.indptr[perm[i]]);
+  B.indices.resize(B.indptr[n]);
+  B.data.resize(B.indptr[n]);
+  for (int i = 0; i < n; ++i) {
+    int old = perm[i];
+    int64_t q = B.indptr[i];
+    for (int64_t p = A.indptr[old]; p < A.indptr[old + 1]; ++p, ++q) {
+      B.indices[q] = inv[A.indices[p]];
+      B.data[q] = A.data[p];
+    }
+  }
+  return B;
+}
 
 std::mutex g_mutex;
 std::map<int64_t, std::unique_ptr<Factor>> g_handles;
@@ -346,13 +415,17 @@ extern "C" {
 int64_t milu_factor(int32_t n, const int64_t* indptr,
                     const int32_t* indices, const double* data,
                     double droptol, double dom, int32_t max_levels,
-                    int32_t min_coarse) {
+                    int32_t min_coarse, int32_t use_cmk) {
   auto fac = std::make_unique<Factor>();
   CSR A;
   A.n = n;
   A.indptr.assign(indptr, indptr + n + 1);
   A.indices.assign(indices, indices + indptr[n]);
   A.data.assign(data, data + indptr[n]);
+  if (use_cmk) {
+    fac->cmk = cmk_order(A);
+    A = permute_sym(A, fac->cmk);
+  }
 
   for (int levi = 0; levi < max_levels && A.n > min_coarse; ++levi) {
     Level lvl;
@@ -393,9 +466,11 @@ int32_t milu_solve(int64_t handle, const double* b, double* x,
     if (it == g_handles.end()) return 1;
     fac = it->second.get();
   }
-  // forward sweep down the levels
+  // forward sweep down the levels (after the CMK pre-permutation)
   std::vector<std::vector<double>> bfs;
   std::vector<double> cur(b, b + n);
+  if (!fac->cmk.empty())
+    for (int i = 0; i < n; ++i) cur[i] = b[fac->cmk[i]];
   for (const Level& lvl : fac->levels) {
     std::vector<double> bf(lvl.nf), bc(lvl.nc);
     level_forward(lvl, cur.data(), bf.data(), bc.data());
@@ -413,8 +488,112 @@ int32_t milu_solve(int64_t handle, const double* b, double* x,
     level_backward(lvl, bfs[li].data(), xc.data(), xl.data());
     xc = std::move(xl);
   }
-  std::memcpy(x, xc.data(), sizeof(double) * n);
+  if (!fac->cmk.empty())
+    for (int i = 0; i < n; ++i) x[fac->cmk[i]] = xc[i];
+  else
+    std::memcpy(x, xc.data(), sizeof(double) * n);
   return 0;
+}
+
+// ---- native Krylov driver ---------------------------------------------
+// Right-preconditioned restarted GMRES on a caller-provided CSR
+// operator with this factorization as M^{-1} — the analog of MRILU's
+// own solver drivers that ship with the preconditioner (reference
+// mrilu/precon/gmres.F90, bicgstab.F90 and the convprogs/ test
+// drivers).  Returns iterations used, or -1 on error; relres out.
+int32_t milu_gmres(int64_t handle, int32_t n, const int64_t* indptr,
+                   const int32_t* indices, const double* data,
+                   const double* b, double* x, double tol,
+                   int32_t maxiter, int32_t restart, double* relres) {
+  Factor* fac;
+  {
+    std::lock_guard<std::mutex> lock(g_mutex);
+    auto it = g_handles.find(handle);
+    if (it == g_handles.end()) return -1;
+    fac = it->second.get();
+  }
+  auto matvec = [&](const double* v, double* y) {
+    for (int i = 0; i < n; ++i) {
+      double s = 0.0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+        s += data[p] * v[indices[p]];
+      y[i] = s;
+    }
+  };
+  auto nrm2 = [&](const double* v) {
+    double s = 0.0;
+    for (int i = 0; i < n; ++i) s += v[i] * v[i];
+    return std::sqrt(s);
+  };
+  if (restart <= 0) restart = 30;
+  std::vector<double> x0(x, x + n), r(n), w(n), z(n);
+  double bn = nrm2(b);
+  if (bn == 0.0) { std::memset(x, 0, sizeof(double) * n); *relres = 0.0; return 0; }
+  int total = 0;
+  double beta = 0.0;
+  for (;;) {
+    matvec(x0.data(), r.data());
+    for (int i = 0; i < n; ++i) r[i] = b[i] - r[i];
+    beta = nrm2(r.data());
+    *relres = beta / bn;
+    if (*relres <= tol || total >= maxiter) break;
+    int m = std::min<int32_t>(restart, maxiter - total);
+    std::vector<std::vector<double>> V(m + 1, std::vector<double>(n));
+    std::vector<std::vector<double>> Z(m, std::vector<double>(n));
+    std::vector<double> H((size_t)(m + 1) * m, 0.0);
+    std::vector<double> cs(m), sn(m), g(m + 1, 0.0);
+    for (int i = 0; i < n; ++i) V[0][i] = r[i] / beta;
+    g[0] = beta;
+    int k = 0;
+    for (; k < m; ++k) {
+      milu_solve(handle, V[k].data(), Z[k].data(), n);
+      matvec(Z[k].data(), w.data());
+      for (int j = 0; j <= k; ++j) {
+        double h = 0.0;
+        for (int i = 0; i < n; ++i) h += w[i] * V[j][i];
+        H[(size_t)j * m + k] = h;
+        for (int i = 0; i < n; ++i) w[i] -= h * V[j][i];
+      }
+      double h1 = nrm2(w.data());
+      ++total;
+      // apply stored Givens rotations
+      for (int j = 0; j < k; ++j) {
+        double t = cs[j] * H[(size_t)j * m + k]
+                 + sn[j] * H[(size_t)(j + 1) * m + k];
+        H[(size_t)(j + 1) * m + k] = -sn[j] * H[(size_t)j * m + k]
+                                   + cs[j] * H[(size_t)(j + 1) * m + k];
+        H[(size_t)j * m + k] = t;
+      }
+      double hk = H[(size_t)k * m + k];
+      double d = std::sqrt(hk * hk + h1 * h1);
+      if (d == 0.0) d = 1e-300;
+      cs[k] = hk / d;
+      sn[k] = h1 / d;
+      H[(size_t)k * m + k] = d;
+      g[k + 1] = -sn[k] * g[k];
+      g[k] = cs[k] * g[k];
+      if (h1 != 0.0)
+        for (int i = 0; i < n; ++i) V[k + 1][i] = w[i] / h1;
+      if (std::fabs(g[k + 1]) / bn <= tol || h1 == 0.0) { ++k; break; }
+    }
+    // back substitution
+    std::vector<double> y(k, 0.0);
+    for (int i = k - 1; i >= 0; --i) {
+      double s = g[i];
+      for (int j = i + 1; j < k; ++j) s -= H[(size_t)i * m + j] * y[j];
+      y[i] = s / H[(size_t)i * m + i];
+    }
+    for (int j = 0; j < k; ++j)
+      for (int i = 0; i < n; ++i) x0[i] += y[j] * Z[j][i];
+    if (total >= maxiter) {
+      matvec(x0.data(), r.data());
+      for (int i = 0; i < n; ++i) r[i] = b[i] - r[i];
+      *relres = nrm2(r.data()) / bn;
+      break;
+    }
+  }
+  std::memcpy(x, x0.data(), sizeof(double) * n);
+  return total;
 }
 
 void milu_destroy(int64_t handle) {

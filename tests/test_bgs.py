@@ -79,3 +79,36 @@ def test_column_tridiag_solve_gauges_deficient_rows():
     assert float(jnp.abs(x).max()) < 1e3
     # gauged row -> zero solution there
     np.testing.assert_allclose(np.asarray(x[0, l - 1]), 0.0, atol=1e-12)
+
+
+def test_bgs_permutations_and_symmetric():
+    """All three sweep orderings (TRIOS_BlockPreconditioner.H:93-99)
+    and the symmetric-GS SolveUpper correction give convergent
+    preconditioners on the 2DMOC Newton system."""
+    ocean = make_2dmoc_ocean(n=3, m=6, l=6)
+    ocean.set_par("Combined Forcing", 0.1)
+    ocean.compute_rhs()
+    ocean.compute_jacobian()
+    An = ocean.jac
+    sh = ocean.state.shape
+    b = (-ocean.rhs).reshape(-1)
+    nullq = ocean._get_deflator()
+
+    def mv(v):
+        return ocean._apply_impl(An, v.reshape(sh)).reshape(-1)
+
+    prec = bgs.build(An, ocean.landm, periodic=True)
+    results = {}
+    for perm, sym in [(1, False), (2, False), (3, False), (1, True)]:
+        def pc(v, perm=perm, sym=sym):
+            z = bgs.apply(prec, v.reshape(sh), periodic=True,
+                          permutation=perm, symmetric=sym).reshape(-1)
+            return z - nullq @ (nullq.T @ z) if nullq is not None else z
+        res = _fgmres_flat(mv, pc, b, jnp.zeros_like(b),
+                           jnp.asarray(1e-8), 300)
+        results[(perm, sym)] = (bool(res.converged), int(res.iters))
+        assert bool(res.converged), f"perm={perm} sym={sym} diverged"
+    # every ordering must be in the same effort ballpark as M1
+    base = results[(1, False)][1]
+    for key, (_, iters) in results.items():
+        assert iters <= 4 * base + 20, f"{key}: {iters} vs {base}"
