@@ -57,7 +57,11 @@ class ThetaModel:
         return self.sol
 
     def set_par(self, name, value):
-        self.model.set_par(name, value)
+        # toy/test models (the double-well of test_ams.C) need not
+        # implement the parameter interface; the 'Time' broadcast for
+        # seasonal forcing is then simply a no-op
+        if hasattr(self.model, "set_par"):
+            self.model.set_par(name, value)
 
     def get_par(self, name):
         return self.model.get_par(name)
