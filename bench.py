@@ -53,15 +53,19 @@ def fori_time(fn, args, x0, K=100, trials=3):
     K0 = 5
     float(loop(args, x0, K0))          # compile + warm
     float(loop(args, x0, K0 + K))
-    best = float("inf")
+    diffs = []
     for _ in range(trials):
         t0 = time.perf_counter()
         float(loop(args, x0, K0))
         t1 = time.perf_counter()
         float(loop(args, x0, K0 + K))
         t2 = time.perf_counter()
-        best = min(best, (t2 - t1) - (t1 - t0))
-    return best / K
+        diffs.append((t2 - t1) - (t1 - t0))
+    # median of the differenced estimates, clamped to a positive floor:
+    # a noisy trial can make a single difference non-positive, and
+    # min-of-differences biases the headline optimistically
+    diffs = sorted(d for d in diffs if d > 0) or [1e-9]
+    return max(diffs[len(diffs) // 2] / K, 1e-9)
 
 
 def part_matvec():

@@ -61,8 +61,14 @@ class Domain:
                  devices=None, shape: tuple[int, int] | None = None):
         if devices is None:
             devices = jax.devices()
+        multihost = len({getattr(d, "process_index", 0)
+                         for d in devices}) > 1
         if shape is None:
-            shape = decomp2d(len(devices), n, m)
+            if multihost:
+                from .multihost import decomp2d_multihost
+                shape = decomp2d_multihost(devices, n, m)
+            else:
+                shape = decomp2d(len(devices), n, m)
         py, px = shape
         if py * px > len(devices):
             raise ValueError(f"mesh {py}x{px} needs {py * px} devices, "
@@ -73,8 +79,16 @@ class Domain:
         self.n, self.m, self.l = n, m, l
         self.periodic = periodic
         self.py, self.px = py, px
-        self.mesh = Mesh(
-            np.asarray(devices[:py * px]).reshape(py, px), ("y", "x"))
+        if multihost:
+            # host-spanning mesh: y (latitude bands) over DCN, x on
+            # ICI (see parallel/multihost.py; single-host CI cannot
+            # exercise this — unit-tested with mocked devices)
+            from .multihost import host_spanning_device_array
+            dev_arr = host_spanning_device_array(
+                devices[:py * px], py, px)
+        else:
+            dev_arr = np.asarray(devices[:py * px]).reshape(py, px)
+        self.mesh = Mesh(dev_arr, ("y", "x"))
 
         # the "maps" (reference TRIOS_Domain.H:186-214): static specs
         self.state_spec = P(None, None, "y", "x")        # (nun,l,m,n)

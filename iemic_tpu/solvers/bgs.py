@@ -136,6 +136,16 @@ class BGSPrec(NamedTuple):
     dir_diag: jnp.ndarray     # (6, l, m, n) their diagonal values
     spp_simple: object = None  # SppSimple factors when the saddlepoint
     #                            scheme is SI/SL/SR (TRIOS_Saddlepoint)
+    # rho-mu orthogonal transform of the TS block (setup_rhomu,
+    # TRIOS_BlockPreconditioner.C:1376-1419): Q is a per-point (T,S)
+    # involution (Q^2 = I) rotating into (density, spiciness)-like
+    # variables; under convective adjustment the mixing couples T and S
+    # through rho = lambda*S - T, and the transformed A_rhomu = Q A Q
+    # concentrates that coupling on the diagonal so the column-block
+    # inner solve stays effective.  None when disabled.
+    Qts: jnp.ndarray | None = None       # (2, 2) involution
+    ts_rm: jnp.ndarray | None = None     # (27,2,2,l,m,n) Q A_TS Q
+    ts_rm_binv: jnp.ndarray | None = None  # its column-block inverses
 
 
 def _column_block_inv(An, vars_idx, *, eps=1e-12):
@@ -161,7 +171,9 @@ def _column_block_inv(An, vars_idx, *, eps=1e-12):
 
 
 def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
-          dzw=None, spp_scheme: str = "KRYLOV") -> BGSPrec:
+          dzw=None, spp_scheme: str = "KRYLOV",
+          rhomu: bool = False,
+          rhomu_lambda: float = 7.6e-4 / 1.8e-4) -> BGSPrec:
     """Factor the preconditioner from the stencil tensor.
 
     landm: padded (l+2, m+2, n+2) land mask (for the checkerboard
@@ -225,6 +237,38 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
         from .saddlepoint import build_simple
         spp_simple = build_simple(Spp, sv2d, periodic=periodic)
 
+    # rho-mu transform of the TS block (setup_rhomu,
+    # TRIOS_BlockPreconditioner.C:1376-1419): Q = (1/sqrt(2)) *
+    # [[-1, lam], [1/lam, 1]] per (T,S) pair, Q^2 = I; the stencil
+    # analog of Arhomu = QTS * ATS * QTS is the pointwise 2x2 sandwich
+    # over every stencil location.
+    Qts = ts_rm = ts_rm_binv = None
+    if rhomu:
+        lam = rhomu_lambda
+        idet = 1.0 / np.sqrt(2.0)
+        Qts = jnp.asarray(np.array([[-idet, lam * idet],
+                                    [idet / lam, idet]]), An.dtype)
+        sub_ts = An[:, _TS][:, :, _TS]            # (27, 2, 2, l, m, n)
+        ts_rm = jnp.einsum('ab,pbc...,cd->pad...', Qts, sub_ts, Qts)
+        # column-block inverses of the transformed block (the ATS
+        # Precond built from Arhomu, TRIOS_BlockPreconditioner.C:1124)
+        diag = ts_rm[4].transpose(2, 3, 4, 0, 1)
+        down = ts_rm[13].transpose(2, 3, 4, 0, 1)
+        up = ts_rm[22].transpose(2, 3, 4, 0, 1)
+        d2 = 2 * l
+        B = jnp.zeros((m, n, l, 2, l, 2), ts_rm.dtype)
+        kk2 = jnp.arange(l)
+        B = B.at[:, :, kk2, :, kk2, :].set(diag)
+        B = B.at[:, :, kk2[1:], :, kk2[:-1], :].set(down[1:])
+        B = B.at[:, :, kk2[:-1], :, kk2[1:], :].set(up[:-1])
+        B = B.reshape(m * n, d2, d2)
+        rowmax = jnp.max(jnp.abs(B), axis=2)
+        dummy = (rowmax < 1e-12).astype(B.dtype)
+        B = B + jnp.einsum('bi,ij->bij', dummy,
+                           jnp.eye(d2, dtype=B.dtype))
+        from ..ops.batched_linalg import inv as _binv3
+        ts_rm_binv = _binv3(B)
+
     # Dirichlet / identity rows (land cells, rigid-lid surface w,
     # east/north wall u,v): the sweep never produces output there, so
     # the apply must pass the residual straight through — the
@@ -244,7 +288,8 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
     return BGSPrec(An=An, Spp=Spp, Spp_binv=Spp_binv,
                    uv_binv=uv_binv, ts_binv=ts_binv, svp=svp,
                    sv2d=sv2d, dir_mask=dir_mask, dir_diag=dir_diag,
-                   spp_simple=spp_simple)
+                   spp_simple=spp_simple, Qts=Qts, ts_rm=ts_rm,
+                   ts_rm_binv=ts_rm_binv)
 
 
 def _apply_col_inv(binv, r):
@@ -265,11 +310,14 @@ def _inner_fgmres(matvec, prec, b, tol, maxiter):
 
 @partial(jax.jit, static_argnames=("periodic", "nit_spp", "nit_uv",
                                    "nit_ts", "spp_scheme",
-                                   "permutation", "symmetric"))
+                                   "permutation", "symmetric",
+                                   "tol_spp", "tol_uv", "tol_ts"))
 def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
           nit_spp: int = 100, nit_uv: int = 12,
           nit_ts: int = 12, spp_scheme: str = "KRYLOV",
-          permutation: int = 1, symmetric: bool = False) -> jnp.ndarray:
+          permutation: int = 1, symmetric: bool = False,
+          tol_spp: float = 1e-4, tol_uv: float = 1e-2,
+          tol_ts: float = 1e-2) -> jnp.ndarray:
     """Block-GS sweep z ~= J^{-1} r.
 
     ``permutation`` selects one of the reference's three block
@@ -334,7 +382,7 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
         solved properly (SppSolver->Iterate)."""
         rbar = jnp.concatenate([jnp.mean(ruv, axis=1),
                                 jnp.mean(rp, axis=1)])
-        zbar = _inner_fgmres(spp_mv, spp_pc, rbar, 1e-4, nit_spp)
+        zbar = _inner_fgmres(spp_mv, spp_pc, rbar, tol_spp, nit_spp)
         return zbar.reshape(3, m, n)
 
     def uv_mv(v):
@@ -346,7 +394,7 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
                               v.reshape(2, l, m, n)).reshape(-1)
 
     def auv_solve(b):
-        return _inner_fgmres(uv_mv, uv_pc, b, 1e-2, nit_uv)
+        return _inner_fgmres(uv_mv, uv_pc, b, tol_uv, nit_uv)
 
     def ts_mv(v):
         return _block_apply(An, _TS, _TS, v.reshape(2, l, m, n),
@@ -356,8 +404,28 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
         return _apply_col_inv(prec.ts_binv,
                               v.reshape(2, l, m, n)).reshape(-1)
 
-    def ats_solve(b):
-        return _inner_fgmres(ts_mv, ts_pc, b, 1e-2, nit_ts)
+    if prec.ts_rm is not None:
+        # rho-mu path (SolveATS with QTS, TRIOS_BlockPreconditioner
+        # .C:1919-1970): solve A_rhomu (Q y) = Q b, return y = Q^{-1}
+        # (Q y) = Q (Q y) since Q^2 = I.
+        from ..ops.stencil import apply_stencil as _ap_st
+
+        def rm_mv(v):
+            return _ap_st(prec.ts_rm, v.reshape(2, l, m, n),
+                          periodic=periodic).reshape(-1)
+
+        def rm_pc(v):
+            return _apply_col_inv(prec.ts_rm_binv,
+                                  v.reshape(2, l, m, n)).reshape(-1)
+
+        def ats_solve(b):
+            qb = jnp.einsum('ab,b...->a...', prec.Qts, b)
+            qz = _inner_fgmres(rm_mv, rm_pc, qb, tol_ts, nit_ts)
+            return jnp.einsum('ab,b...->a...', prec.Qts,
+                              qz.reshape(2, l, m, n))
+    else:
+        def ats_solve(b):
+            return _inner_fgmres(ts_mv, ts_pc, b, tol_ts, nit_ts)
 
     def prescorr(yp):
         for q in range(2):
@@ -420,6 +488,13 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
         raise ValueError(f"BGS: invalid permutation {permutation}")
 
     # ---- backward correction (SolveUpper, symmetric GS) --------------
+    if symmetric and permutation != 1:
+        # the SolveUpper correction below is the strictly-upper factor
+        # of the M1 ordering only; for M2/M3 the upper coupling differs
+        # and the reference has symmetric GS hard-disabled anyway
+        # ("no longer supported", TRIOS_BlockPreconditioner.C)
+        raise ValueError("BGS: symmetric Gauss-Seidel requires "
+                         "permutation == 1")
     if symmetric:
         # x = U \ y with U the strictly-upper coupling of M1:
         #   zp  = Ap \ (BwTS yTS)

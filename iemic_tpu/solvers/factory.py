@@ -51,6 +51,16 @@ def default_prec_params() -> ParameterList:
     p.set("Saddlepoint scheme", "KRYLOV")   # or SI / SL / SR
     p.set("Auv iterations", 12)
     p.set("ATS iterations", 12)
+    # per-block inner tolerances (reference: each block's solver
+    # config, ocean_preconditioner_params.xml:427-560)
+    p.set("Saddlepoint tolerance", 1e-4)
+    p.set("Auv tolerance", 1e-2)
+    p.set("ATS tolerance", 1e-2)
+    # rho-mu orthogonal transform of the TS block for convective
+    # adjustment ("ATS: rho/mu Transform",
+    # TRIOS_BlockPreconditioner.C:1023-1024, setup_rhomu :1376)
+    p.set("ATS rho/mu Transform", False)
+    p.set("rho/mu lambda", 7.6e-4 / 1.8e-4)
     # block-GS sweep ordering M1/M2/M3 and GS vs symmetric GS
     # (TRIOS_BlockPreconditioner.H:93-99 "Permutation",
     #  :1287-1330 "Scheme")
@@ -96,19 +106,27 @@ def make_preconditioner(params: ParameterList | dict | None, *,
         nit_spp = params.get("Saddlepoint iterations")
         nit_uv = params.get("Auv iterations")
         nit_ts = params.get("ATS iterations")
+        tol_spp = float(params.get("Saddlepoint tolerance"))
+        tol_uv = float(params.get("Auv tolerance"))
+        tol_ts = float(params.get("ATS tolerance"))
         scheme = params.get("Saddlepoint scheme")
         perm = int(params.get("Permutation"))
         sym = params.get("Scheme") == "symmetric Gauss-Seidel"
+        rhomu = bool(params.get("ATS rho/mu Transform"))
+        rm_lam = float(params.get("rho/mu lambda"))
 
         def build(An):
             return bgs.build(An, landm, periodic=periodic,
-                             spp_scheme=scheme)
+                             spp_scheme=scheme, rhomu=rhomu,
+                             rhomu_lambda=rm_lam)
 
         def apply(fac, r):
             return bgs.apply(fac, r, periodic=periodic,
                              nit_spp=nit_spp, nit_uv=nit_uv,
                              nit_ts=nit_ts, spp_scheme=scheme,
-                             permutation=perm, symmetric=sym)
+                             permutation=perm, symmetric=sym,
+                             tol_spp=tol_spp, tol_uv=tol_uv,
+                             tol_ts=tol_ts)
 
         return build, apply
 

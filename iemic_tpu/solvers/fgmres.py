@@ -77,32 +77,33 @@ def _fgmres_flat(matvec: Callable, prec: Callable,
         w = matvec(z)
         Z = Z.at[j].set(z)
 
-        # modified Gram-Schmidt against all basis vectors (masked)
-        def mgs(i, carry):
-            w, H = carry
-            keep = i <= j
-            h = jnp.where(keep, jnp.dot(V[i], w), 0.0)
-            w = w - h * V[i]
-            H = H.at[i, j].set(h)
-            return w, H
-
-        w, H = lax.fori_loop(0, maxiter, mgs, (w, H))
+        # CGS2 orthogonalization: two classical Gram-Schmidt passes as
+        # dense matmuls against the stored basis.  Rows of V beyond j
+        # are still zero, so V @ w yields exactly the coefficients for
+        # i <= j and zeros elsewhere — no masking, and the whole
+        # orthogonalization is 4 large matmuls (MXU work) instead of
+        # maxiter sequential dot+axpy kernels (the O(maxiter)-per-
+        # iteration loop was the round-3 Newton-bench timeout driver).
+        # CGS2 matches MGS stability for GMRES (Giraud et al. 2005).
+        h1 = V @ w
+        w = w - V.T @ h1
+        h2 = V @ w
+        w = w - V.T @ h2
         hj1 = jnp.linalg.norm(w)
+        H = H.at[:, j].set(h1 + h2)
         H = H.at[j + 1, j].set(hj1)
         V = V.at[j + 1].set(jnp.where(hj1 > 0.0, w / hj1, w))
 
-        # apply previous Givens rotations to column j
+        # apply previous Givens rotations to column j (dynamic bound:
+        # only the first j rotations exist)
         def rot(i, Hcol):
-            keep = i < j
-            hi = jnp.where(keep, cs[i] * Hcol[i] + sn[i] * Hcol[i + 1],
-                           Hcol[i])
-            hi1 = jnp.where(keep, -sn[i] * Hcol[i] + cs[i] * Hcol[i + 1],
-                            Hcol[i + 1])
+            hi = cs[i] * Hcol[i] + sn[i] * Hcol[i + 1]
+            hi1 = -sn[i] * Hcol[i] + cs[i] * Hcol[i + 1]
             Hcol = Hcol.at[i].set(hi)
             Hcol = Hcol.at[i + 1].set(hi1)
             return Hcol
 
-        Hcol = lax.fori_loop(0, maxiter, rot, H[:, j])
+        Hcol = lax.fori_loop(0, j, rot, H[:, j])
 
         # new rotation annihilating H[j+1, j]
         denom = jnp.sqrt(Hcol[j] ** 2 + Hcol[j + 1] ** 2)

@@ -112,3 +112,45 @@ def test_bgs_permutations_and_symmetric():
     base = results[(1, False)][1]
     for key, (_, iters) in results.items():
         assert iters <= 4 * base + 20, f"{key}: {iters} vs {base}"
+
+
+def test_bgs_rhomu_transform():
+    """rho-mu orthogonal transform of the TS block (setup_rhomu,
+    TRIOS_BlockPreconditioner.C:1376-1419): on a convectively-
+    adjusting state (Mixing=1, P_VC != 0) the transformed sweep is a
+    convergent preconditioner and its ATS subsolve does not degrade
+    the outer effort relative to the untransformed sweep."""
+    ocean = make_2dmoc_ocean(n=3, m=6, l=6)
+    ocean.set_par("Combined Forcing", 0.5)
+    ocean.set_par("P_VC", 6.37)        # convective adjustment on
+    ocean.compute_rhs()
+    ocean.compute_jacobian()
+    An = ocean.jac
+    sh = ocean.state.shape
+    b = (-ocean.rhs).reshape(-1)
+    nullq = ocean._get_deflator()
+
+    def mv(v):
+        return ocean._apply_impl(An, v.reshape(sh)).reshape(-1)
+
+    # Q is an involution: Q @ Q = I
+    prec_rm = bgs.build(An, ocean.landm, periodic=True, rhomu=True)
+    Q = np.asarray(prec_rm.Qts)
+    np.testing.assert_allclose(Q @ Q, np.eye(2), atol=1e-12)
+    # the transformed stencil really is the sandwich Q A_TS Q
+    sub = np.asarray(An)[:, 4:6, 4:6]
+    want = np.einsum('ab,pbckji,cd->padkji', Q, sub, Q)
+    np.testing.assert_allclose(np.asarray(prec_rm.ts_rm), want,
+                               atol=1e-12 * max(np.abs(want).max(), 1.0))
+
+    prec = bgs.build(An, ocean.landm, periodic=True)
+    iters = {}
+    for name, p in [("plain", prec), ("rhomu", prec_rm)]:
+        def pc(v, p=p):
+            z = bgs.apply(p, v.reshape(sh), periodic=True).reshape(-1)
+            return z - nullq @ (nullq.T @ z) if nullq is not None else z
+        res = _fgmres_flat(mv, pc, b, jnp.zeros_like(b),
+                           jnp.asarray(1e-8), 300)
+        assert bool(res.converged), f"{name} diverged"
+        iters[name] = int(res.iters)
+    assert iters["rhomu"] <= iters["plain"] + 10, iters
