@@ -64,3 +64,34 @@ def solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     if b.ndim == A.ndim - 1:
         return jnp.einsum('...ij,...j->...i', X, b)
     return X @ b
+
+
+def inv_large(A: jnp.ndarray) -> jnp.ndarray:
+    """Single (d, d) inverse via Gauss-Jordan with partial pivoting,
+    with the pivot loop as a ``lax.fori_loop`` (the Python-unrolled
+    :func:`inv` is for d up to a few dozen; unrolling d ~ 10^3 pivot
+    steps — the multigrid coarsest-level factor — would explode the
+    HLO).  One O(d^3) factorization per preconditioner build."""
+    import jax
+    from jax import lax
+
+    d = A.shape[-1]
+    M = jnp.concatenate([A, jnp.eye(d, dtype=A.dtype)], axis=-1)
+    rows = jnp.arange(d)
+
+    def step(k, M):
+        col = jnp.abs(M[:, k])
+        col = jnp.where(rows >= k, col, -1.0)
+        piv = jnp.argmax(col)
+        pivrow = M[piv]
+        krow = M[k]
+        M = M.at[k].set(pivrow)
+        M = M.at[piv].set(krow)
+        prow = M[k] / M[k, k]
+        fac = M[:, k].at[k].set(0.0)
+        M = M - fac[:, None] * prow[None, :]
+        M = M.at[k].set(prow)
+        return M
+
+    M = lax.fori_loop(0, d, step, M)
+    return M[:, d:]

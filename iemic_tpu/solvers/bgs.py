@@ -59,13 +59,17 @@ _TS = jnp.array([TT, SS])
 _UVP = jnp.array([UU, VV, PP])
 
 
-def _column_tridiag_solve(diag, down, up, b, *, eps=1e-12):
-    """Solve per-column block-tridiagonal systems.
+def _column_tridiag_factor(diag, down, up, *, eps=1e-12):
+    """Factor per-column block-tridiagonal systems into batched
+    inverses (computed ONCE per Jacobian in ``build``; the sweep then
+    applies them as a batched matmul — keeping the Gauss-Jordan graph
+    out of the Krylov-loop body cuts both compile and run time).
 
     diag/down/up: (nv, nv, l, m, n) coefficient tensors at stencil
-    locations 4/13/22 (center column).  b: (nv, l, m, n).
-    Dummy rows (all-zero, e.g. land or surface-w) get identity.
-    Returns x: (nv, l, m, n).
+    locations 4/13/22 (center column).
+    Returns (binv (m*n, d, d), dummy (m*n, d)) with d = nv*l.
+    Dummy rows (all-zero, e.g. land or surface-w) are gauged to
+    identity; their rhs entries must be zeroed on apply.
     """
     nv, _, l, m, n = diag.shape
     d = nv * l
@@ -95,11 +99,24 @@ def _column_tridiag_solve(diag, down, up, b, *, eps=1e-12):
     dummyf = dummy.astype(T.dtype)
     T = T * (1.0 - dummyf)[:, :, None]                   # zero the row
     T = T + jnp.einsum('bi,ij->bij', dummyf, jnp.eye(d, dtype=T.dtype))
-    bc = b.transpose(2, 3, 1, 0).reshape(m * n, d)       # (k, var) order
+    from ..ops.batched_linalg import inv as _binv
+    return _binv(T), dummy
+
+
+def _apply_tridiag_inv(binv, dummy, b):
+    """Apply factored per-column tridiag inverses: b (nv, l, m, n)."""
+    nv, l, m, n = b.shape
+    bc = b.transpose(2, 3, 1, 0).reshape(m * n, l * nv)  # (k, var)
     bc = jnp.where(dummy, 0.0, bc)
-    from ..ops.batched_linalg import solve as _bsolve
-    x = _bsolve(T, bc)
+    x = jnp.einsum('bij,bj->bi', binv, bc)
     return x.reshape(m, n, l, nv).transpose(3, 2, 0, 1)
+
+
+def _column_tridiag_solve(diag, down, up, b, *, eps=1e-12):
+    """One-shot factor+apply (kept for tests; the sweep uses the
+    prefactored path)."""
+    binv, dummy = _column_tridiag_factor(diag, down, up, eps=eps)
+    return _apply_tridiag_inv(binv, dummy, b)
 
 
 def _block_apply(An, rows, cols, x, periodic):
@@ -146,6 +163,21 @@ class BGSPrec(NamedTuple):
     Qts: jnp.ndarray | None = None       # (2, 2) involution
     ts_rm: jnp.ndarray | None = None     # (27,2,2,l,m,n) Q A_TS Q
     ts_rm_binv: jnp.ndarray | None = None  # its column-block inverses
+    # prefactored hydrostatic (Ap: w-rows, p-col) and continuity
+    # (Aw: p-rows, w-col) vertical tridiag inverses — the analog of the
+    # reference's once-per-Compute Ap triangular factor
+    # (TRIOS_BlockPreconditioner.H:308): factoring in build keeps the
+    # batched Gauss-Jordan out of the sweep body
+    ap_binv: jnp.ndarray | None = None   # (m*n, l, l)
+    ap_dummy: jnp.ndarray | None = None  # (m*n, l)
+    aw_binv: jnp.ndarray | None = None   # (m*n, l, l)
+    aw_dummy: jnp.ndarray | None = None  # (m*n, l)
+    # semicoarsened multigrid hierarchies for the Auv / ATS blocks —
+    # the TPU-native stand-in for the reference's ML smoothed
+    # aggregation (ocean_preconditioner_params.xml:66-120, :578-584
+    # Method=ML); built when the corresponding "... Precond" is "MG"
+    uv_mg: object = None
+    ts_mg: object = None                 # on ts_rm when rhomu is on
 
 
 def _column_block_inv(An, vars_idx, *, eps=1e-12):
@@ -173,7 +205,9 @@ def _column_block_inv(An, vars_idx, *, eps=1e-12):
 def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
           dzw=None, spp_scheme: str = "KRYLOV",
           rhomu: bool = False,
-          rhomu_lambda: float = 7.6e-4 / 1.8e-4) -> BGSPrec:
+          rhomu_lambda: float = 7.6e-4 / 1.8e-4,
+          uv_precond: str = "Columns",
+          ts_precond: str = "Columns") -> BGSPrec:
     """Factor the preconditioner from the stencil tensor.
 
     landm: padded (l+2, m+2, n+2) land mask (for the checkerboard
@@ -184,14 +218,37 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
     schemes of :mod:`.saddlepoint` (the reference's 'Saddlepoint
     scheme' option, TRIOS_Saddlepoint.H:28-95 + the AztecOO-on-Spp
     setup in TRIOS_BlockPreconditioner.C:404-450).
+
+    The mask-derived arrays are computed host-side here; the numerical
+    factorization itself runs as ONE jitted computation (eager per-op
+    dispatch on the remote TPU backend cost ~90 s of op-by-op compiles
+    per Jacobian at production size).
     """
+    _, nun, _, l, m, n = An.shape
+    lm = np.asarray(landm)
+    ocean_np = (lm[1:l + 1, 1:m + 1, 1:n + 1] == 0).astype(np.float64)
+    w_np = (np.ones((l,)) if dzw is None
+            else np.asarray(dzw, np.float64))
+    return _build_core(An, jnp.asarray(ocean_np), jnp.asarray(w_np),
+                       periodic=periodic, spp_scheme=spp_scheme,
+                       rhomu=rhomu, rhomu_lambda=rhomu_lambda,
+                       uv_precond=uv_precond, ts_precond=ts_precond)
+
+
+@partial(jax.jit, static_argnames=("periodic", "spp_scheme", "rhomu",
+                                   "rhomu_lambda", "uv_precond",
+                                   "ts_precond"))
+def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
+                *, periodic: bool, spp_scheme: str,
+                rhomu: bool, rhomu_lambda: float,
+                uv_precond: str = "Columns",
+                ts_precond: str = "Columns") -> BGSPrec:
     _, nun, _, l, m, n = An.shape
 
     # ---- depth-averaged 2D saddle point over (u, v, p) ----------------
     # restriction = sum over k of all three z-planes (constant-in-z
     # prolongation makes the column sums exact, Mzp-style)
     sub = An[:, _UVP][:, :, _UVP]                # (27, 3, 3, l, m, n)
-    w = jnp.ones((l,)) if dzw is None else jnp.asarray(dzw)
     w = w / jnp.sum(w)
     trip = sub[:9] + sub[9:18] + sub[18:27]
     Spp = jnp.einsum('pABkji,k->pABji', trip, w)
@@ -214,9 +271,6 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
 
     # pressure null modes (constant + checkerboard over ocean points,
     # reference svp1/svp2, TRIOS_BlockPreconditioner.H:489-494)
-    ocean = jnp.asarray(
-        (np.asarray(landm)[1:l + 1, 1:m + 1, 1:n + 1] == 0)
-        .astype(np.float64))
     const = ocean
     ij = (np.arange(m)[:, None] + np.arange(n)[None, :]) % 2
     cb = ocean * jnp.asarray(np.where(ij == 0, 1.0, -1.0))
@@ -269,6 +323,25 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
         from ..ops.batched_linalg import inv as _binv3
         ts_rm_binv = _binv3(B)
 
+    # multigrid hierarchies for the momentum / tracer blocks (the ML
+    # analog; see :mod:`.mg`)
+    uv_mg = ts_mg = None
+    if uv_precond == "MG":
+        from . import mg as _mg
+        uv_mg = _mg.build(An[:, _UV][:, :, _UV], periodic=periodic)
+    if ts_precond == "MG":
+        from . import mg as _mg
+        ts_mg = _mg.build(ts_rm if rhomu else An[:, _TS][:, :, _TS],
+                          periodic=periodic)
+
+    # prefactor the hydrostatic / continuity vertical solves
+    ap_binv, ap_dummy = _column_tridiag_factor(
+        An[4][WW:WW + 1, PP:PP + 1], An[13][WW:WW + 1, PP:PP + 1],
+        An[22][WW:WW + 1, PP:PP + 1])
+    aw_binv, aw_dummy = _column_tridiag_factor(
+        An[4][PP:PP + 1, WW:WW + 1], An[13][PP:PP + 1, WW:WW + 1],
+        An[22][PP:PP + 1, WW:WW + 1])
+
     # Dirichlet / identity rows (land cells, rigid-lid surface w,
     # east/north wall u,v): the sweep never produces output there, so
     # the apply must pass the residual straight through — the
@@ -289,7 +362,10 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
                    uv_binv=uv_binv, ts_binv=ts_binv, svp=svp,
                    sv2d=sv2d, dir_mask=dir_mask, dir_diag=dir_diag,
                    spp_simple=spp_simple, Qts=Qts, ts_rm=ts_rm,
-                   ts_rm_binv=ts_rm_binv)
+                   ts_rm_binv=ts_rm_binv,
+                   ap_binv=ap_binv, ap_dummy=ap_dummy,
+                   aw_binv=aw_binv, aw_dummy=aw_dummy,
+                   uv_mg=uv_mg, ts_mg=ts_mg)
 
 
 def _apply_col_inv(binv, r):
@@ -334,20 +410,14 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
     bp = r[PP][None]
     bts = r[jnp.array([TT, SS])]
 
-    # ---- shared sub-solves -------------------------------------------
+    # ---- shared sub-solves (prefactored in build) --------------------
     def ap_solve(b):
         """ytilp = Ap \\ b: hydrostatic column solve (w rows, p col)."""
-        return _column_tridiag_solve(
-            An[4][WW:WW + 1, PP:PP + 1],
-            An[13][WW:WW + 1, PP:PP + 1],
-            An[22][WW:WW + 1, PP:PP + 1], b)
+        return _apply_tridiag_inv(prec.ap_binv, prec.ap_dummy, b)
 
     def aw_solve(b):
         """yw = Aw \\ b: continuity column solve (p rows, w col)."""
-        return _column_tridiag_solve(
-            An[4][PP:PP + 1, WW:WW + 1],
-            An[13][PP:PP + 1, WW:WW + 1],
-            An[22][PP:PP + 1, WW:WW + 1], b)
+        return _apply_tridiag_inv(prec.aw_binv, prec.aw_dummy, b)
 
     def spp_mv(v):
         return _apply_2d(prec.Spp, v.reshape(3, m, n),
@@ -389,11 +459,23 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
         return _block_apply(An, _UV, _UV, v.reshape(2, l, m, n),
                             periodic).reshape(-1)
 
-    def uv_pc(v):
-        return _apply_col_inv(prec.uv_binv,
-                              v.reshape(2, l, m, n)).reshape(-1)
+    if prec.uv_mg is not None:
+        from . import mg as _mg
+
+        def uv_pc(v):
+            return _mg.apply(prec.uv_mg, v.reshape(2, l, m, n),
+                             periodic=periodic).reshape(-1)
+    else:
+        def uv_pc(v):
+            return _apply_col_inv(prec.uv_binv,
+                                  v.reshape(2, l, m, n)).reshape(-1)
 
     def auv_solve(b):
+        # nit == 0: apply the preconditioner once (the reference's
+        # production "Auv Solver Method = None",
+        # ocean_preconditioner_params.xml:46-48)
+        if nit_uv == 0:
+            return uv_pc(b.reshape(-1)).reshape(b.shape)
         return _inner_fgmres(uv_mv, uv_pc, b, tol_uv, nit_uv)
 
     def ts_mv(v):
@@ -414,18 +496,39 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
             return _ap_st(prec.ts_rm, v.reshape(2, l, m, n),
                           periodic=periodic).reshape(-1)
 
-        def rm_pc(v):
-            return _apply_col_inv(prec.ts_rm_binv,
-                                  v.reshape(2, l, m, n)).reshape(-1)
+        if prec.ts_mg is not None:
+            from . import mg as _mg
+
+            def rm_pc(v):
+                return _mg.apply(prec.ts_mg, v.reshape(2, l, m, n),
+                                 periodic=periodic).reshape(-1)
+        else:
+            def rm_pc(v):
+                return _apply_col_inv(prec.ts_rm_binv,
+                                      v.reshape(2, l, m, n)).reshape(-1)
 
         def ats_solve(b):
             qb = jnp.einsum('ab,b...->a...', prec.Qts, b)
-            qz = _inner_fgmres(rm_mv, rm_pc, qb, tol_ts, nit_ts)
+            if nit_ts == 0:
+                qz = rm_pc(qb.reshape(-1))
+            else:
+                qz = _inner_fgmres(rm_mv, rm_pc, qb, tol_ts, nit_ts)
             return jnp.einsum('ab,b...->a...', prec.Qts,
                               qz.reshape(2, l, m, n))
     else:
+        if prec.ts_mg is not None:
+            from . import mg as _mg
+
+            def ts_pc2(v):
+                return _mg.apply(prec.ts_mg, v.reshape(2, l, m, n),
+                                 periodic=periodic).reshape(-1)
+        else:
+            ts_pc2 = ts_pc
+
         def ats_solve(b):
-            return _inner_fgmres(ts_mv, ts_pc, b, tol_ts, nit_ts)
+            if nit_ts == 0:
+                return ts_pc2(b.reshape(-1)).reshape(b.shape)
+            return _inner_fgmres(ts_mv, ts_pc2, b, tol_ts, nit_ts)
 
     def prescorr(yp):
         for q in range(2):

@@ -61,6 +61,13 @@ def default_prec_params() -> ParameterList:
     # TRIOS_BlockPreconditioner.C:1023-1024, setup_rhomu :1376)
     p.set("ATS rho/mu Transform", False)
     p.set("rho/mu lambda", 7.6e-4 / 1.8e-4)
+    # per-block preconditioners: "Columns" (vertical line blocks) or
+    # "MG" (semicoarsened multigrid, the reference's ML Method,
+    # ocean_preconditioner_params.xml:66-120, :578-584).  Setting the
+    # block's iterations to 0 applies the preconditioner once — the
+    # reference's "Auv Solver Method = None" production mode.
+    p.set("Auv Precond", "Columns")
+    p.set("ATS Precond", "Columns")
     # block-GS sweep ordering M1/M2/M3 and GS vs symmetric GS
     # (TRIOS_BlockPreconditioner.H:93-99 "Permutation",
     #  :1287-1330 "Scheme")
@@ -114,11 +121,14 @@ def make_preconditioner(params: ParameterList | dict | None, *,
         sym = params.get("Scheme") == "symmetric Gauss-Seidel"
         rhomu = bool(params.get("ATS rho/mu Transform"))
         rm_lam = float(params.get("rho/mu lambda"))
+        uv_prec = params.get("Auv Precond")
+        ts_prec = params.get("ATS Precond")
 
         def build(An):
             return bgs.build(An, landm, periodic=periodic,
                              spp_scheme=scheme, rhomu=rhomu,
-                             rhomu_lambda=rm_lam)
+                             rhomu_lambda=rm_lam,
+                             uv_precond=uv_prec, ts_precond=ts_prec)
 
         def apply(fac, r):
             return bgs.apply(fac, r, periodic=periodic,

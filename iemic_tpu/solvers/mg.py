@@ -1,0 +1,236 @@
+"""Semicoarsened geometric multigrid for stencil sub-blocks.
+
+TPU-native replacement for the ML smoothed-aggregation multigrid the
+reference applies to the Auv and ATS subsystems of its block
+preconditioner (reference
+parameterfiles/ocean_preconditioner_params.xml:66-120 "Auv Precond"
+Method=ML, :578-584 "ATS Precond" Method=ML; constructed in
+src/trios/TRIOS_SolverFactory.C:65-250).  Without horizontal coarse
+corrections those blocks are diffusion-dominated at global grid sizes
+and vertical column-block preconditioning alone leaves the outer
+Krylov effort far above the De Niet-Wubs design point.
+
+Design (all jit-compatible, static shapes):
+
+  * hierarchy by 2x2 aggregation in the horizontal (m, n) only —
+    z is never coarsened, matching the reference's domain philosophy
+    (TRIOS_Domain.H:63-84: z never split) and keeping the vertical
+    physics exact on every level;
+  * smoother: damped vertical line (column-block) Jacobi — the
+    batched (nv*l x nv*l) column inverses are exact vertical solves,
+    the classic pairing with horizontal semicoarsening;
+  * Galerkin coarse operators via piecewise-constant restriction /
+    prolongation: the coarse stencil stays a 27-point tensor, computed
+    by a 27x4-term index-mapped accumulation (einsum/reshape only);
+  * coarsest level: dense factored solve over all remaining columns
+    (a few thousand unknowns), Tikhonov-shifted against exactly
+    singular blocks.
+
+Odd horizontal dimensions are zero-padded to even; padded rows are
+structurally zero and the smoother gauges them to identity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.stencil import offsets
+
+_OFFS = offsets()
+
+
+def _pad_hv(An, mpad, npad):
+    """Zero-pad the stencil tensor in (m, n) by (mpad, npad) at the
+    high end."""
+    if mpad == 0 and npad == 0:
+        return An
+    return jnp.pad(An, ((0, 0), (0, 0), (0, 0), (0, 0),
+                        (0, mpad), (0, npad)))
+
+
+def coarsen_stencil(An: jnp.ndarray, *, periodic: bool) -> jnp.ndarray:
+    """Galerkin coarse stencil R A P with piecewise-constant R/P over
+    2x2 horizontal aggregates.  An: (27, nv, nv, l, m, n) with m, n
+    even.  Returns (27, nv, nv, l, m//2, n//2).
+
+    For fine offset (di, dj, dk) from a fine cell with parity (b, a)
+    inside its aggregate, the contribution lands on the coarse
+    neighbor (DI, DJ, dk) with DJ = (a + dj) >> 1, DI = (b + di) >> 1
+    (floor division keeps everything inside the 27-point coarse
+    neighborhood).  x-periodic wraparound is inherited from the
+    modular indexing of the coarse matvec; at walls contributions
+    falling outside are dropped exactly like the fine zero padding.
+    """
+    _, nva, nvb, l, m, n = An.shape
+    assert m % 2 == 0 and n % 2 == 0
+    mc, nc = m // 2, n // 2
+    # reshape to expose aggregate parities: (27, A, B, l, mc, a, nc, b)
+    Ar = An.reshape(27, nva, nvb, l, mc, 2, nc, 2)
+    out = jnp.zeros((27, nva, nvb, l, mc, nc), An.dtype)
+
+    def p_index(di, dj, dk):
+        # inverse of offsets(): di = q//3 - 1, dj = q%3 - 1
+        q = 3 * (di + 1) + (dj + 1)
+        return q + 9 * (0 if dk == 0 else (1 if dk == -1 else 2))
+
+    for p in range(27):
+        di, dj, dk = (int(v) for v in _OFFS[p])
+        for a in range(2):          # j parity
+            DJ = (a + dj) >> 1
+            for b in range(2):      # i parity
+                DI = (b + di) >> 1
+                pc = p_index(DI, DJ, dk)
+                out = out.at[pc].add(Ar[p, :, :, :, :, a, :, b])
+    return out
+
+
+def _column_inv(An, *, eps=1e-12):
+    """Batched inverses of the vertical column blocks of a stencil
+    tensor (the line smoother).  Returns (binv (m*n, d, d),
+    dummy (m*n, d))."""
+    _, nv, _, l, m, n = An.shape
+    d = nv * l
+    diag = An[4].transpose(2, 3, 4, 0, 1)
+    down = An[13].transpose(2, 3, 4, 0, 1)
+    up = An[22].transpose(2, 3, 4, 0, 1)
+    B = jnp.zeros((m, n, l, nv, l, nv), An.dtype)
+    kk = jnp.arange(l)
+    B = B.at[:, :, kk, :, kk, :].set(diag)
+    B = B.at[:, :, kk[1:], :, kk[:-1], :].set(down[1:])
+    B = B.at[:, :, kk[:-1], :, kk[1:], :].set(up[:-1])
+    B = B.reshape(m * n, d, d)
+    rowmax = jnp.max(jnp.abs(B), axis=2)
+    dummy = rowmax < eps
+    B = B + jnp.einsum('bi,ij->bij', dummy.astype(B.dtype),
+                       jnp.eye(d, dtype=B.dtype))
+    from ..ops.batched_linalg import inv as _binv
+    return _binv(B), dummy
+
+
+def _stencil_to_dense_jnp(An, periodic):
+    """Assemble a small stencil tensor into a dense matrix, fully
+    traceable (used for the coarsest-level factor only)."""
+    _, nv, _, l, m, n = An.shape
+    N = nv * l * m * n
+
+    # unit basis matvec, batched: build columns by applying the
+    # operator to the identity — N is a few thousand at the coarsest
+    # level, and this costs one batched matvec of width N, paid once
+    # per preconditioner build.
+    from ..ops.stencil import apply_stencil
+    eye = jnp.eye(N, dtype=An.dtype).reshape(N, nv, l, m, n)
+    cols = jax.vmap(lambda v: apply_stencil(An, v, periodic=periodic)
+                    .reshape(-1))(eye)
+    return cols.T        # (N, N): A @ e_j in column j
+
+
+class MGLevel(NamedTuple):
+    An: jnp.ndarray
+    binv: jnp.ndarray
+    dummy: jnp.ndarray
+
+
+class MGPrec(NamedTuple):
+    levels: tuple           # tuple of MGLevel, fine -> coarse
+    coarse_inv: jnp.ndarray  # dense inverse at the coarsest level
+    damping: jnp.ndarray    # smoother damping factor (scalar)
+
+
+def build(An: jnp.ndarray, *, periodic: bool, min_cols: int = 64,
+          max_levels: int = 10, damping: float = 0.9) -> MGPrec:
+    """Build the multigrid hierarchy for one stencil sub-block."""
+    levels = []
+    cur = An
+    nlev = 0
+    while True:
+        binv, dummy = _column_inv(cur)
+        levels.append(MGLevel(An=cur, binv=binv, dummy=dummy))
+        _, nv, _, l, m, n = cur.shape
+        nlev += 1
+        if m * n <= min_cols or nlev >= max_levels or m < 4 or n < 4:
+            break
+        # padding is re-derived from the (static) level shapes in the
+        # V-cycle: always pad odd dims to even before aggregating
+        cur = coarsen_stencil(_pad_hv(cur, m % 2, n % 2),
+                              periodic=periodic)
+
+    # dense factor of the coarsest level
+    _, nv, _, l, m, n = cur.shape
+    A = _stencil_to_dense_jnp(cur, periodic)
+    N = A.shape[0]
+    scale = jnp.max(jnp.abs(A))
+    # gauge empty rows; shift against exact singularity (barotropic
+    # pressure-like modes of the aggregated operator)
+    rowmax = jnp.max(jnp.abs(A), axis=1)
+    empty = (rowmax < 1e-12 * jnp.maximum(scale, 1e-30)).astype(A.dtype)
+    A = A + jnp.diag(empty) + 1e-12 * scale * jnp.eye(N, dtype=A.dtype)
+    # TPU f64 has no LU custom call (see ops/batched_linalg) —
+    # loop-based Gauss-Jordan (inv_large) keeps the HLO small
+    from ..ops.batched_linalg import inv_large
+    coarse_inv = inv_large(A)
+    return MGPrec(levels=tuple(levels), coarse_inv=coarse_inv,
+                  damping=jnp.asarray(damping, An.dtype))
+
+
+def _smooth(lev: MGLevel, z, r, *, periodic, damping, nsweep=1):
+    """Damped line-Jacobi sweeps: z <- z + w * Binv (r - A z)."""
+    from ..ops.stencil import apply_stencil
+    nv, l, m, n = r.shape
+    for _ in range(nsweep):
+        res = r - apply_stencil(lev.An, z, periodic=periodic)
+        rc = res.transpose(2, 3, 1, 0).reshape(m * n, l * nv)
+        rc = jnp.where(lev.dummy, 0.0, rc)
+        dz = jnp.einsum('bij,bj->bi', lev.binv, rc)
+        z = z + damping * dz.reshape(m, n, l, nv).transpose(3, 2, 0, 1)
+    return z
+
+
+def _vcycle(prec: MGPrec, k: int, r, *, periodic):
+    from ..ops.stencil import apply_stencil
+    lev = prec.levels[k]
+    nv, l, m, n = r.shape
+    z = jnp.zeros_like(r)
+    z = _smooth(lev, z, r, periodic=periodic, damping=prec.damping)
+    if k == len(prec.levels) - 1:
+        return z
+
+    res = r - apply_stencil(lev.An, z, periodic=periodic)
+    mpad, npad = m % 2, n % 2
+    if mpad or npad:
+        res = jnp.pad(res, ((0, 0), (0, 0), (0, mpad), (0, npad)))
+    mc, nc = (m + mpad) // 2, (n + npad) // 2
+    rc = res.reshape(nv, l, mc, 2, nc, 2).sum(axis=(3, 5))
+
+    if k + 1 == len(prec.levels) - 1:
+        zc = (prec.coarse_inv @ rc.transpose(2, 3, 1, 0).reshape(-1))
+        zc = zc.reshape(mc, nc, l, nv).transpose(3, 2, 0, 1)
+        # one smoothing pass on the dense solution to wash out the
+        # gauge of the shift
+        zc = _smooth(prec.levels[k + 1], zc, rc, periodic=periodic,
+                     damping=prec.damping)
+    else:
+        zc = _vcycle(prec, k + 1, rc, periodic=periodic)
+
+    # piecewise-constant prolongation (inject into both parities)
+    zf = jnp.repeat(jnp.repeat(zc, 2, axis=2), 2, axis=3)
+    zf = zf[:, :, :m, :n]
+    z = z + zf
+    z = _smooth(lev, z, r, periodic=periodic, damping=prec.damping)
+    return z
+
+
+@partial(jax.jit, static_argnames=("periodic", "cycles"))
+def apply(prec: MGPrec, r: jnp.ndarray, *, periodic: bool,
+          cycles: int = 1) -> jnp.ndarray:
+    """z ~= A^{-1} r by V-cycles.  r: (nv, l, m, n)."""
+    from ..ops.stencil import apply_stencil
+    z = _vcycle(prec, 0, r, periodic=periodic)
+    for _ in range(cycles - 1):
+        res = r - apply_stencil(prec.levels[0].An, z, periodic=periodic)
+        z = z + _vcycle(prec, 0, res, periodic=periodic)
+    return z
