@@ -526,6 +526,7 @@ class Ocean:
         # atoms as an argument rather than bake them as constants
         self._an_rhs_impl = _an_rhs_jit
         self._rhs_from_parts_fn = jax.jit(_rhs_from_parts)
+        self._frc_fn = jax.jit(_frc)
         self._jac_fn = _jac_call
         self._apply_fn = jax.jit(_apply)
         self._mass_fn = jax.jit(_mass)
@@ -1025,8 +1026,24 @@ class Ocean:
             hdim=g.hdim, x=g.x, y=np.asarray(g.y),
             z=g.z, xu=g.xu, yv=g.yv, zw=g.zw)
         pars = {c.INT2PAR[i]: float(self.par[i]) for i in range(c.NPAR)}
+        # additional exports (Ocean::additionalExports, Ocean.C:1904)
+        extras = {}
+        if (self.params.get("Save salinity flux")
+                or self.params.get("Save temperature flux")):
+            fx = self.surface_fluxes()
+            sal_keys = ("SalinityFlux", "OceanAtmosSalFlux",
+                        "OceanSeaIceSalFlux")
+            tem_keys = ("TemperatureFlux", "ShortwaveFlux",
+                        "SensibleHeatFlux", "LatentHeatFlux",
+                        "SeaIceHeatFlux")
+            if self.params.get("Save salinity flux"):
+                extras.update({k: fx[k] for k in sal_keys if k in fx})
+            if self.params.get("Save temperature flux"):
+                extras.update({k: fx[k] for k in tem_keys if k in fx})
+        if self.params.get("Save mask"):
+            extras["MaskGlobal"] = np.asarray(self.landm)
         h5.save_state(filename, np.asarray(self.to_flat()), pars,
-                      grid_meta=grid_meta)
+                      grid_meta=grid_meta, extras=extras or None)
         log.INFO(f"Ocean: saved state to {filename}")
 
     def load_state_from_file(self, filename: str | None = None) -> int:
@@ -1089,6 +1106,72 @@ class Ocean:
         apply.n_noise = m
         return apply
 
+    # -- surface flux probes (THCM::getFluxes, probe.F90:89-471) ------
+    def surface_fluxes(self) -> dict:
+        """Surface heat / freshwater flux fields as (m, n) arrays.
+
+        The total T/S flux rows are the assembled surface forcing
+        (forcing.F90:33-120); in coupled mode the individual
+        components (shortwave / sensible / latent / sea-ice) follow
+        the QToa/QTos decomposition of assembly.forcing — the analog
+        of the reference's flux probes (probe.F90:89-471,
+        Ocean::additionalExports, Ocean.C:1904-1946)."""
+        import iemic_tpu.models.ocean.constants as c_
+        cfg = self.cfg
+        Frc = self._frc_fn(self.par, self.fields, self.cpl)
+        out = {"TemperatureFlux": np.asarray(Frc[TT, -1]),
+               "SalinityFlux": np.asarray(Frc[SS, -1])}
+        f, cpl, par = self.fields, self.cpl, self.par
+        zeros = np.zeros((cfg.m, cfg.n))
+
+        def fld(name):
+            v = getattr(f, name, None)
+            return np.asarray(v) if v is not None else zeros
+
+        if cfg.coupled_T == 1:
+            suno, albe = fld("suno"), fld("albe")
+            qatm, tatm, msi = fld("qatm"), fld("tatm"), fld("msi")
+            qsw = (float(par[c_.COMB]) * float(par[c_.SUNP]) * suno
+                   * (1.0 - cpl.albe0 - cpl.albed * albe))
+            qsh = cpl.Ooa * tatm
+            qlh = cpl.lvsc * (cpl.eta * cpl.qdim * qatm - cpl.eo0)
+            QToa = qsw + qsh + qlh
+            QTos = self.QTnd * cpl.zeta * (cpl.a0 * c_.S0 - c_.T0)
+            out.update(ShortwaveFlux=qsw, SensibleHeatFlux=qsh,
+                       LatentHeatFlux=qlh,
+                       SeaIceHeatFlux=msi * (QTos - QToa))
+        if cfg.coupled_S == 1:
+            qatm, patm = fld("qatm"), fld("patm")
+            msi, qsa, gsi = fld("msi"), fld("qsa"), fld("gsi")
+            pQSnd = (float(par[c_.COMB]) * float(par[c_.SALT])
+                     * self.QSnd)
+            qsoa = pQSnd * (cpl.eo0 - cpl.eta * cpl.qdim * qatm - patm)
+            qsos = pQSnd * (cpl.zeta * (cpl.a0 * c_.S0 - c_.T0)
+                            - qsa / (c_.RHODIM * cpl.Lf)) + gsi * 0.0
+            out.update(OceanAtmosSalFlux=qsoa,
+                       OceanSeaIceSalFlux=msi * (qsos - qsoa))
+        return out
+
+    def write_fort3(self, path: str = "fort.3") -> None:
+        """Legacy fort.3 text output (inout.F90:55-90 wrtbc): header,
+        parameter list, and the solution in the old natural ordering."""
+        g = self.grid
+        u = np.asarray(self.to_flat())
+        npar, nf = len(np.asarray(self.par)), 0
+        ndim = u.size
+        nskip = int((npar - 1) / 5 + 1) + 1 + nf
+        with open(path, "w") as fh:
+            fh.write("Version   0%4d%4d%4d%4d%4d%4d%4d%4d%12d%12d\n"
+                     % (1, 0, npar, nf, g.n, g.m, g.l, 6, ndim, nskip))
+            par = np.asarray(self.par)
+            for i in range(0, npar, 5):
+                fh.write(" ".join("%18.10e" % v
+                                  for v in par[i:i + 5]) + "\n")
+            fh.write("%18.10e %16.8e %16.8e\n" % (0.0, 0.0, 0.0))
+            for v in u:
+                fh.write("%18.10e\n" % v)
+        log.INFO(f"Ocean: wrote legacy output to {path}")
+
     # -- hooks ---------------------------------------------------------
     def pre_process(self) -> None:
         pass
@@ -1102,6 +1185,8 @@ class Ocean:
                 self.save_state_to_file(
                     self.params.get("Output file")
                     + f".{self._pp_ctr}")
+        if self.params.get("Use legacy fort.3 output"):
+            self.write_fort3()
 
     def monitor(self) -> bool:
         return False

@@ -80,3 +80,36 @@ def test_eigenvector_file(tmp_path):
         assert int(np.asarray(f["MetaData/NumEigs"])) == 2
         assert np.allclose(np.asarray(f["EigenValues/AlphaRe"]), [1, 3])
         assert "EV_Real_0/Values" in f
+
+
+def test_flux_saves_and_fort3(tmp_path):
+    """'Save salinity/temperature flux' write flux datasets into the
+    checkpoint (Ocean::additionalExports, Ocean.C:1904-1946) and
+    'Use legacy fort.3 output' writes the inout.F90 text format."""
+    import h5py
+    import numpy as np
+    from iemic_tpu.models.ocean import Ocean
+
+    out = str(tmp_path / "ocean_output.h5")
+    ocean = Ocean({"Save state": True, "Output file": out,
+                   "Save salinity flux": True,
+                   "Save temperature flux": True,
+                   "THCM": {
+                       "Global Grid-Size n": 4, "Global Grid-Size m": 4,
+                       "Global Grid-Size l": 3,
+                       "Starting Parameters": {"Combined Forcing": 0.1,
+                                               "Temperature Forcing": 10.0,
+                                               "Salinity Forcing": 1.0}}})
+    ocean.save_state_to_file(out)
+    with h5py.File(out, "r") as f:
+        sal = np.asarray(f["SalinityFlux/Values"])
+        tem = np.asarray(f["TemperatureFlux/Values"])
+    assert sal.shape == (4, 4)
+    assert np.abs(tem).max() > 0          # idealized T forcing is on
+
+    f3 = tmp_path / "fort.3"
+    ocean.write_fort3(str(f3))
+    lines = f3.read_text().splitlines()
+    assert lines[0].startswith("Version")
+    ndim = 6 * 3 * 4 * 4
+    assert len(lines) > ndim              # header + params + solution
