@@ -1152,6 +1152,21 @@ class Ocean:
                        OceanSeaIceSalFlux=msi * (qsos - qsoa))
         return out
 
+    def get_s_corr(self) -> float:
+        """Salinity integral correction: the area average of the total
+        surface salinity flux excluding the sea-ice correction field
+        gsi (THCM::getSCorr via get_salflux, probe.F90:200-274 — the
+        reference computes qint of the flux and stores gamma*qint; at
+        a converged coupled state this equals the sea-ice gamma,
+        asserted by src/tests/test_integrals.C:156-168)."""
+        from .assembly import qint
+        flux = jnp.asarray(self.surface_fluxes()["SalinityFlux"])
+        if self.cfg.coupled_S == 1 and self.fields.gsi is not None:
+            lm = np.asarray(self.landm)
+            surf = jnp.asarray(1.0 - lm[self.cfg.l, 1:-1, 1:-1])
+            flux = flux + self.fields.gsi * surf
+        return float(qint(flux, self.grid, np.asarray(self.landm)))
+
     def write_fort3(self, path: str = "fort.3") -> None:
         """Legacy fort.3 text output (inout.F90:55-90 wrtbc): header,
         parameter list, and the solution in the old natural ordering."""

@@ -210,3 +210,39 @@ def test_coupled_continuation():
     result = cont.run()
     assert result.status == 0
     assert result.steps == 2
+
+
+def test_coupled_EP_and_seaice_correction():
+    """Coupled conservation integrals (src/tests/test_integrals.C:131-168):
+    at a coupled equilibrium (a) the E-P budget closes over the ocean
+    area, and (b) the ocean's salinity integral correction equals the
+    sea-ice auxiliary gamma."""
+    cpld = make_coupled(use_seaice=True, comb=0.0)
+    cpld.fgmres_tol = 1e-7
+    cpld.fgmres_iters = 350
+    cpld.set_state(cpld.get_state() * 0.0)
+    for it in range(15):
+        cpld.compute_rhs()
+        if float(jnp.linalg.norm(cpld.get_rhs())) < 1e-10:
+            break
+        cpld.compute_jacobian()
+        dx = cpld.solve(-cpld.get_rhs())
+        cpld.set_state(cpld.get_state() + dx)
+    cpld.compute_rhs()
+    assert float(jnp.linalg.norm(cpld.get_rhs())) < 1e-7
+
+    atmos, ocean, seaice = cpld.atmos, cpld.ocean, cpld.seaice
+    # (a) integrate E - P over the ocean area with the atmosphere's
+    # own precipitation integral coefficients (atmos->getPIntCoeff)
+    E = np.asarray(atmos.get_evaporation())
+    P = np.asarray(atmos.get_precipitation())
+    dA = np.asarray(atmos.p_coeff)
+    I = float(np.sum((E - P) * dA))
+    scale = max(float(np.sum(np.abs(E) * dA)), 1e-30)
+    assert abs(I) < 1e-7 * max(scale, 1.0), (I, scale)
+
+    # (b) ocean salinity correction == sea-ice gamma
+    scorr = ocean.get_s_corr()
+    gamma = float(seaice.get_gamma())
+    assert abs(scorr - gamma) < 1e-8 + 1e-6 * abs(gamma), \
+        (scorr, gamma)
