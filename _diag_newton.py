@@ -30,7 +30,7 @@ ocean = Ocean({"THCM": {
                             "Salinity Forcing": 0.1},
 }}, solver_params={"Preconditioning": prec,
                    "Precision": precision,
-                   "FGMRES tolerance": 1e-8,
+                   "FGMRES tolerance": float(os.environ.get("BENCH_TOL", 1e-4)),
                    "FGMRES iterations": maxiter,
                    "Matvec kernel": os.environ.get("BENCH_KERNEL", "auto")},
     data_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -89,10 +89,14 @@ for name in variants:
         perm = int(name[3]) if name.startswith("bgs") and name[3:4].isdigit() else 1
         sym = name.endswith("sym")
         mgprec = "mg" in name
+        int_row = ((int_coeff, ocean.rowintcon,
+                    float(rint) * cfg.int_sign)
+                   if cfg.sres == 0 else None)
         fac = bgs.build(An, ocean.landm, periodic=cfg.periodic,
                         spp_scheme=scheme, rhomu=rhomu,
                         uv_precond="MG" if mgprec else "Columns",
-                        ts_precond="MG" if mgprec else "Columns")
+                        ts_precond="MG" if mgprec else "Columns",
+                        int_row=int_row)
         akw = {}
         if name == "bgs1_tuned":
             akw = dict(nit_spp=200, nit_uv=30, nit_ts=30,
@@ -109,10 +113,15 @@ for name in variants:
                           symmetric=sym, **akw).reshape(-1)
             return proj(z)
     build_t = time.time() - t0
-    t0 = time.time()
-    res = _fgmres_flat(mv, pc, flat_b, jnp.zeros_like(flat_b),
-                       jnp.asarray(1e-8), MAXIT)
-    it, rr = int(res.iters), float(res.relres)
-    print(f"{name:12s} iters={it:4d} relres={rr:.2e} "
-          f"build={build_t:6.1f}s solve={time.time()-t0:7.1f}s",
-          flush=True)
+    # effort at the reference's production tolerances AND deep:
+    # every shipped reference config solves at 1e-2..1e-4
+    # (run/*/solver_params.xml "FGMRES tolerance"), never tighter
+    for tol in (float(os.environ.get("ETOL1", 1e-4)),
+                float(os.environ.get("ETOL2", 1e-8))):
+        t0 = time.time()
+        res = _fgmres_flat(mv, pc, flat_b, jnp.zeros_like(flat_b),
+                           jnp.asarray(tol), MAXIT)
+        it, rr = int(res.iters), float(res.relres)
+        print(f"{name:12s} tol={tol:.0e} iters={it:4d} "
+              f"relres={rr:.2e} build={build_t:6.1f}s "
+              f"solve={time.time()-t0:7.1f}s", flush=True)

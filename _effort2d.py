@@ -55,9 +55,13 @@ for (n, m, l) in grids:
                     fac, v.reshape(sh)).reshape(-1))
         else:
             mgp = name.endswith("mg")
+            int_row = ((int_coeff, ocean.rowintcon,
+                        float(rint) * cfg.int_sign)
+                       if cfg.sres == 0 else None)
             fac = bgs.build(An, ocean.landm, periodic=cfg.periodic,
                             uv_precond="MG" if mgp else "Columns",
-                            ts_precond="MG" if mgp else "Columns")
+                            ts_precond="MG" if mgp else "Columns",
+                            int_row=int_row)
             akw = dict(nit_uv=0, nit_ts=0) if mgp else {}
             def pc(v, fac=fac, akw=akw):
                 return proj(bgs.apply(fac, v.reshape(sh),

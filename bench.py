@@ -28,8 +28,10 @@ import time
 
 import numpy as np
 
-MATVEC_TIMEOUT = int(os.environ.get("BENCH_MATVEC_TIMEOUT", 420))
-NEWTON_TIMEOUT = int(os.environ.get("BENCH_NEWTON_TIMEOUT", 420))
+MATVEC_TIMEOUT = int(os.environ.get("BENCH_MATVEC_TIMEOUT", 300))
+# one-time XLA compilation dominates (no persistent cache on the
+# remote backend); the warm step itself is seconds
+NEWTON_TIMEOUT = int(os.environ.get("BENCH_NEWTON_TIMEOUT", 900))
 
 
 def fori_time(fn, args, x0, K=100, trials=3):
@@ -123,16 +125,28 @@ def part_matvec():
 def part_newton():
     """Wall-clock per Newton-continuation step (jac build + prec build
     + 2 bordered FGMRES solves) on the land-masked global 96x38x12
-    configuration, on the mixed-precision BGS path (the all-device
-    production configuration; cf. Ocean.C:1060-1151 effort metric).
-    scipy-splu 'Amesos' is excluded at this scale by measurement: its
-    factorization alone costs 573 s on this host (round-2 postmortem).
+    configuration, on the mixed-precision BGS path (the production
+    configuration and now the DEFAULT; cf. Ocean.C:1060-1151 effort
+    metric).
+
+    Tolerance: 1e-4 — the tightest linear tolerance any shipped
+    reference configuration uses (run/ocean/solver_params.xml; 2dmoc
+    and coupled run at 1e-3, tuning at 1e-2).  The reference operates
+    as an inexact Newton method and NEVER solves to 1e-8; a deep
+    1e-8 solve is reported separately as `deep_solve`.
+
+    Compile time is reported separately from the warm step: the axon
+    remote-TPU backend has no persistent executable cache, so every
+    process launch pays XLA compilation once (measured: the fused
+    jac graph alone cost 329 s before the mixing autodiff was split
+    into its own jit; see models/ocean/ocean.py _jac).
     """
     from iemic_tpu.models.ocean import Ocean
 
     n, m, l = 96, 38, 12
     prec = os.environ.get("BENCH_PREC", "BGS")
     precision = os.environ.get("BENCH_PRECISION", "Mixed")
+    tol = float(os.environ.get("BENCH_TOL", 1e-4))
 
     ocean = Ocean({"THCM": {
         "Global Grid-Size n": n, "Global Grid-Size m": m,
@@ -148,7 +162,7 @@ def part_newton():
                                 "Salinity Forcing": 0.1},
     }}, solver_params={"Preconditioning": prec,
                        "Precision": precision,
-                       "FGMRES tolerance": 1e-8,
+                       "FGMRES tolerance": tol,
                        "FGMRES iterations": 200,
                        "Matvec kernel":
                            os.environ.get("BENCH_KERNEL", "auto")},
@@ -158,25 +172,38 @@ def part_newton():
     ocean.compute_rhs()
     b = -ocean.rhs
 
-    def newton_step():
+    def newton_step(scale=1.0):
         ocean.compute_jacobian()
         ocean._prec_for = None       # force refactor: fresh J
         ocean._get_prec_factors()
-        z1 = ocean.solve(b)
+        z1 = ocean.solve(scale * b)
         it1, rr1 = ocean.solve_iters, ocean.solve_relres
-        z2 = ocean.solve(0.5 * b)
+        z2 = ocean.solve(0.5 * scale * b)
         it2, rr2 = ocean.solve_iters, ocean.solve_relres
         z2.block_until_ready()
         return it1 + it2, max(rr1, rr2)
 
-    newton_step()                    # compile + warm
     t0 = time.perf_counter()
-    mv, rr = newton_step()
+    newton_step()                    # compile + warm
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mv, rr = newton_step(0.7)
     dt = time.perf_counter() - t0
-    return {"grid": [n, m, l], "dof": 6 * n * m * l, "masked": True,
-            "preconditioner": prec, "precision": precision,
-            "newton_step_ms": dt * 1e3, "mv_effort": mv,
-            "solve_relres": rr}
+    out = {"grid": [n, m, l], "dof": 6 * n * m * l, "masked": True,
+           "preconditioner": prec, "precision": precision,
+           "tolerance": tol, "compile_s": compile_s,
+           "newton_step_ms": dt * 1e3, "mv_effort": mv,
+           "solve_relres": rr}
+    # deep solve at 1e-8 (warm operator/preconditioner; extra
+    # refinement sweeps only — no recompilation since tol is traced)
+    ocean.solver_params.set("FGMRES tolerance", 1e-8)
+    t0 = time.perf_counter()
+    ocean.solve(b)
+    out["deep_solve"] = {"tolerance": 1e-8,
+                         "ms": (time.perf_counter() - t0) * 1e3,
+                         "mv_effort": ocean.solve_iters,
+                         "relres": ocean.solve_relres}
+    return out
 
 
 def run_part(name, timeout):

@@ -129,7 +129,8 @@ def make_sharded_ops(ocean, domain):
             "solve": make_sharded_solve(ocean, domain, matvec)}
 
 
-def make_sharded_solve(ocean, domain, matvec=None):
+def make_sharded_solve(ocean, domain, matvec=None, *,
+                       precision: str = "Double"):
     """Sharded BGS-preconditioned FGMRES solve (the full solve path of
     §3.1 under SPMD): the Krylov matvec runs the explicit shard_map
     halo exchange, the block-GS preconditioner factors/applies under
@@ -138,9 +139,15 @@ def make_sharded_solve(ocean, domain, matvec=None):
     collectives), and the pressure null modes are deflated globally.
 
     Returns ``solve(An, b, tol, maxiter) -> (x, iters, relres)`` — the
-    multi-device equivalent of Ocean.solve's Double path, used for the
-    np in {1,2,4,8} equivalence regression
+    multi-device equivalent of Ocean.solve, used for the np in
+    {1,2,4,8} equivalence regression
     (reference src/tests/CMakeLists.txt:77-87).
+
+    precision="Double" is the all-f64 path; "Mixed" runs the Krylov
+    matvec + block-GS preconditioner in f32 with f64 Arnoldi and f64
+    iterative-refinement sweeps — the sharded twin of Ocean.solve's
+    production Mixed path (everything stays inside one jitted SPMD
+    computation; the refinement loop is a lax.while_loop).
     """
     from ..solvers import bgs
     from ..solvers.fgmres import _fgmres_flat
@@ -155,15 +162,18 @@ def make_sharded_solve(ocean, domain, matvec=None):
         def matvec(An, v):
             y = ops_mv(An, v)
             if cfg.sres == 0:
-                y = y.at[ir].set(cfg.int_sign * jnp.vdot(int_coeff, v))
+                y = y.at[ir].set((cfg.int_sign
+                                  * jnp.vdot(int_coeff.astype(v.dtype),
+                                             v)).astype(y.dtype))
             return y
 
     nullq = ocean._get_deflator() if ocean.jac is not None else None
+    int_row = ((ocean.int_coeff, ocean.rowintcon, float(cfg.int_sign))
+               if cfg.sres == 0 else None)
 
-    def _solve(An, b, tol, maxiter):
-        An = jax.lax.with_sharding_constraint(
-            An, domain.stencil_sharding)
-        factors = bgs.build(An, landm, periodic=cfg.periodic)
+    def _mk(An, b):
+        factors = bgs.build(An, landm, periodic=cfg.periodic,
+                            int_row=int_row)
 
         def proj(v):
             if nullq is None:
@@ -171,7 +181,6 @@ def make_sharded_solve(ocean, domain, matvec=None):
             return v - nullq @ (nullq.T @ v)
 
         shape = b.shape
-        flat_b = proj(b.reshape(-1))
 
         def mv(v):
             return proj(matvec(An, v.reshape(shape)).reshape(-1))
@@ -181,8 +190,70 @@ def make_sharded_solve(ocean, domain, matvec=None):
                           periodic=cfg.periodic).reshape(-1)
             return proj(z)
 
+        return factors, proj, mv, pc, shape
+
+    def _solve(An, b, tol, maxiter):
+        An = jax.lax.with_sharding_constraint(
+            An, domain.stencil_sharding)
+        factors, proj, mv, pc, shape = _mk(An, b)
+        flat_b = proj(b.reshape(-1))
         res = _fgmres_flat(mv, pc, flat_b, jnp.zeros_like(flat_b),
                            tol, maxiter)
         return proj(res.x).reshape(shape), res.iters, res.relres
 
-    return jax.jit(_solve, static_argnames=("maxiter",))
+    def _solve_mixed(An, b, tol, maxiter):
+        An = jax.lax.with_sharding_constraint(
+            An, domain.stencil_sharding)
+        factors, proj, mv64, _, shape = _mk(An, b)
+        An32 = An.astype(jnp.float32)
+        factors32 = jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "astype") and jnp.issubdtype(
+                a.dtype, jnp.floating) else a, factors)
+        nullq32 = (nullq.astype(jnp.float32)
+                   if nullq is not None else None)
+
+        def proj32(v):
+            if nullq32 is None:
+                return v
+            return v - nullq32 @ (nullq32.T @ v)
+
+        def mv_h(v):
+            v32 = v.astype(jnp.float32).reshape(shape)
+            y = matvec(An32, v32).reshape(-1)
+            return proj32(y).astype(b.dtype)
+
+        def pc_h(v):
+            v32 = v.astype(jnp.float32).reshape(shape)
+            z = bgs.apply(factors32, v32,
+                          periodic=cfg.periodic).reshape(-1)
+            return proj32(z).astype(b.dtype)
+
+        flat_b = proj(b.reshape(-1))
+        bnorm = jnp.linalg.norm(flat_b)
+        target = tol * jnp.where(bnorm > 0.0, bnorm, 1.0)
+
+        def cond(state):
+            x, r, rn, outer, inner = state
+            return (outer < 12) & (rn > target)
+
+        def body(state):
+            x, r, rn, outer, inner = state
+            scale = jnp.where(rn > 0.0, rn, 1.0)
+            sol = _fgmres_flat(mv_h, pc_h, r / scale,
+                               jnp.zeros_like(r),
+                               jnp.asarray(1e-6, b.dtype), maxiter,
+                               stall_limit=60)
+            x = x + sol.x * scale
+            r = flat_b - mv64(x)
+            return x, r, jnp.linalg.norm(r), outer + 1, \
+                inner + sol.iters
+
+        x0 = jnp.zeros_like(flat_b)
+        x, r, rn, outer, inner = jax.lax.while_loop(
+            cond, body, (x0, flat_b, bnorm, 0, 0))
+        return (proj(x).reshape(shape), inner,
+                rn / jnp.maximum(bnorm, 1e-300))
+
+    fn = _solve_mixed if precision == "Mixed" else _solve
+    return jax.jit(fn, static_argnames=("maxiter",))

@@ -178,6 +178,22 @@ class BGSPrec(NamedTuple):
     # Method=ML); built when the corresponding "... Precond" is "MG"
     uv_mg: object = None
     ts_mg: object = None                 # on ts_rm when rhomu is on
+    # salinity integral-condition row threaded into the ATS inner
+    # operator: the reference's THCM replaces the row in the CRS
+    # Jacobian BEFORE the preconditioner extracts ATS
+    # (THCM.C:2121-2196), so its ATS subsolve is nonsingular; here the
+    # row lives in the outer matvec wrapper only, so without this the
+    # ATS block is exactly singular along constant-S and the inner
+    # solve pumps O(1/eps) null components into the sweep.
+    ts_icoeff: jnp.ndarray | None = None  # (2, l, m, n) row coeffs
+    ts_iidx: jnp.ndarray | None = None    # (3,) (k, j, i) of the row
+    ts_iscale: jnp.ndarray | None = None  # row scale * int_sign
+    # validated TS null modes (const-T / const-S over ocean cells,
+    # gated by ||A v|| smallness) — projected out of preconditioner
+    # outputs so the MG coarse-level Tikhonov shift can never amplify
+    # them (gain would be ~1/shift otherwise)
+    ts_null: jnp.ndarray | None = None     # (2, 2, l, m, n)
+    ts_null_rm: jnp.ndarray | None = None  # transformed + orthonormal
 
 
 def _column_block_inv(An, vars_idx, *, eps=1e-12):
@@ -207,8 +223,15 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
           rhomu: bool = False,
           rhomu_lambda: float = 7.6e-4 / 1.8e-4,
           uv_precond: str = "Columns",
-          ts_precond: str = "Columns") -> BGSPrec:
+          ts_precond: str = "Columns",
+          int_row=None) -> BGSPrec:
     """Factor the preconditioner from the stencil tensor.
+
+    int_row: optional (coeff (6, l, m, n), (var, k, j, i), scale) —
+    the outer operator's salinity integral-condition row replacement
+    (THCM::intcond_S); threaded into the ATS inner operator so the
+    subsolve is nonsingular, as in the reference where the row is
+    replaced in the CRS Jacobian before submatrix extraction.
 
     landm: padded (l+2, m+2, n+2) land mask (for the checkerboard
     pressure modes); dzw: optional (l,) layer weights for the depth
@@ -229,7 +252,15 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
     ocean_np = (lm[1:l + 1, 1:m + 1, 1:n + 1] == 0).astype(np.float64)
     w_np = (np.ones((l,)) if dzw is None
             else np.asarray(dzw, np.float64))
+    if int_row is not None:
+        coeff, (var, k, j, i), scale = int_row
+        icoeff = jnp.asarray(coeff)[jnp.array([TT, SS])]
+        iidx = jnp.asarray([k, j, i])
+        iscale = jnp.asarray(scale, An.dtype)
+    else:
+        icoeff = iidx = iscale = None
     return _build_core(An, jnp.asarray(ocean_np), jnp.asarray(w_np),
+                       icoeff, iidx, iscale,
                        periodic=periodic, spp_scheme=spp_scheme,
                        rhomu=rhomu, rhomu_lambda=rhomu_lambda,
                        uv_precond=uv_precond, ts_precond=ts_precond)
@@ -239,6 +270,7 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
                                    "rhomu_lambda", "uv_precond",
                                    "ts_precond"))
 def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
+                icoeff, iidx, iscale,
                 *, periodic: bool, spp_scheme: str,
                 rhomu: bool, rhomu_lambda: float,
                 uv_precond: str = "Columns",
@@ -323,6 +355,36 @@ def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
         from ..ops.batched_linalg import inv as _binv3
         ts_rm_binv = _binv3(B)
 
+    # validated TS null modes: const-T / const-S over ocean cells.
+    # With flux (non-restoring) T or S boundary conditions the ATS
+    # block is exactly singular along these; gate each candidate by
+    # the actual smallness of A v so restoring configurations get a
+    # zero (inactive) mode.
+    from ..ops.stencil import apply_stencil as _ap_st_b
+    sub_ts_all = An[:, _TS][:, :, _TS]
+    ts_scale = jnp.maximum(jnp.max(jnp.abs(sub_ts_all)), 1e-30)
+    nulls = []
+    for var in range(2):
+        v = jnp.zeros((2, l, m, n), An.dtype).at[var].set(ocean)
+        vn = jnp.maximum(jnp.linalg.norm(v), 1e-30)
+        Av = _ap_st_b(sub_ts_all, v, periodic=periodic)
+        gate = (jnp.linalg.norm(Av) < 1e-8 * ts_scale * vn)
+        nulls.append(gate.astype(An.dtype) * v / vn)
+    ts_null = jnp.stack(nulls)                  # (2, 2, l, m, n)
+
+    # null modes of the transformed block: Q v (Q is an involution,
+    # not orthogonal), re-orthonormalized by Gram-Schmidt
+    ts_null_rm = None
+    if rhomu:
+        q0 = jnp.einsum('ab,b...->a...', Qts, ts_null[0])
+        q1 = jnp.einsum('ab,b...->a...', Qts, ts_null[1])
+        n0 = jnp.maximum(jnp.linalg.norm(q0), 1e-30)
+        q0 = q0 / n0 * (n0 > 1e-15).astype(An.dtype)
+        q1 = q1 - jnp.vdot(q0, q1) * q0
+        n1 = jnp.maximum(jnp.linalg.norm(q1), 1e-30)
+        q1 = q1 / n1 * (n1 > 1e-15).astype(An.dtype)
+        ts_null_rm = jnp.stack([q0, q1])
+
     # multigrid hierarchies for the momentum / tracer blocks (the ML
     # analog; see :mod:`.mg`)
     uv_mg = ts_mg = None
@@ -365,7 +427,9 @@ def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
                    ts_rm_binv=ts_rm_binv,
                    ap_binv=ap_binv, ap_dummy=ap_dummy,
                    aw_binv=aw_binv, aw_dummy=aw_dummy,
-                   uv_mg=uv_mg, ts_mg=ts_mg)
+                   uv_mg=uv_mg, ts_mg=ts_mg,
+                   ts_icoeff=icoeff, ts_iidx=iidx, ts_iscale=iscale,
+                   ts_null=ts_null, ts_null_rm=ts_null_rm)
 
 
 def _apply_col_inv(binv, r):
@@ -478,34 +542,64 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
             return uv_pc(b.reshape(-1)).reshape(b.shape)
         return _inner_fgmres(uv_mv, uv_pc, b, tol_uv, nit_uv)
 
+    def _ts_row_fix(y, v4):
+        """Salinity integral-condition row inside the ATS operator
+        (see BGSPrec.ts_icoeff): y[(S, k, j, i)] = scale * <coeff, v>."""
+        if prec.ts_icoeff is None:
+            return y
+        intval = jnp.vdot(prec.ts_icoeff, v4)
+        k, j, i = prec.ts_iidx[0], prec.ts_iidx[1], prec.ts_iidx[2]
+        return y.at[1, k, j, i].set(prec.ts_iscale * intval)
+
+    def _ts_proj(z4, modes):
+        """Project validated null modes out of preconditioner outputs
+        (bounds the MG coarse-shift gain along exact singularities)."""
+        if modes is None:
+            return z4
+        for q in range(2):
+            sv = modes[q]
+            z4 = z4 - jnp.vdot(sv, z4) * sv
+        return z4
+
     def ts_mv(v):
-        return _block_apply(An, _TS, _TS, v.reshape(2, l, m, n),
-                            periodic).reshape(-1)
+        v4 = v.reshape(2, l, m, n)
+        y = _block_apply(An, _TS, _TS, v4, periodic)
+        return _ts_row_fix(y, v4).reshape(-1)
 
     def ts_pc(v):
-        return _apply_col_inv(prec.ts_binv,
-                              v.reshape(2, l, m, n)).reshape(-1)
+        z = _apply_col_inv(prec.ts_binv, v.reshape(2, l, m, n))
+        return _ts_proj(z, prec.ts_null).reshape(-1)
 
     if prec.ts_rm is not None:
         # rho-mu path (SolveATS with QTS, TRIOS_BlockPreconditioner
         # .C:1919-1970): solve A_rhomu (Q y) = Q b, return y = Q^{-1}
-        # (Q y) = Q (Q y) since Q^2 = I.
-        from ..ops.stencil import apply_stencil as _ap_st
-
+        # (Q y) = Q (Q y) since Q^2 = I.  The operator is applied as
+        # Q (A_rowfix (Q v)) so the integral-condition row stays in
+        # (the reference's Arhomu = QTS * ATS * QTS is built from the
+        # row-replaced ATS).
         def rm_mv(v):
-            return _ap_st(prec.ts_rm, v.reshape(2, l, m, n),
-                          periodic=periodic).reshape(-1)
+            u4 = jnp.einsum('ab,b...->a...', prec.Qts,
+                            v.reshape(2, l, m, n))
+            y = _block_apply(An, _TS, _TS, u4, periodic)
+            y = _ts_row_fix(y, u4)
+            return jnp.einsum('ab,b...->a...', prec.Qts, y).reshape(-1)
 
+        # note: deflation happens on the FINAL untransformed output
+        # only — projecting inside the transformed Krylov was measured
+        # to degrade convergence ~14x (the orthogonal projection in
+        # rho-mu coordinates cuts into the regular density components)
         if prec.ts_mg is not None:
             from . import mg as _mg
 
             def rm_pc(v):
-                return _mg.apply(prec.ts_mg, v.reshape(2, l, m, n),
-                                 periodic=periodic).reshape(-1)
+                z = _mg.apply(prec.ts_mg, v.reshape(2, l, m, n),
+                              periodic=periodic)
+                return z.reshape(-1)
         else:
             def rm_pc(v):
-                return _apply_col_inv(prec.ts_rm_binv,
-                                      v.reshape(2, l, m, n)).reshape(-1)
+                z = _apply_col_inv(prec.ts_rm_binv,
+                                   v.reshape(2, l, m, n))
+                return z.reshape(-1)
 
         def ats_solve(b):
             qb = jnp.einsum('ab,b...->a...', prec.Qts, b)
@@ -513,15 +607,17 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
                 qz = rm_pc(qb.reshape(-1))
             else:
                 qz = _inner_fgmres(rm_mv, rm_pc, qb, tol_ts, nit_ts)
-            return jnp.einsum('ab,b...->a...', prec.Qts,
-                              qz.reshape(2, l, m, n))
+            y = jnp.einsum('ab,b...->a...', prec.Qts,
+                           qz.reshape(2, l, m, n))
+            return _ts_proj(y, prec.ts_null)
     else:
         if prec.ts_mg is not None:
             from . import mg as _mg
 
             def ts_pc2(v):
-                return _mg.apply(prec.ts_mg, v.reshape(2, l, m, n),
-                                 periodic=periodic).reshape(-1)
+                z = _mg.apply(prec.ts_mg, v.reshape(2, l, m, n),
+                              periodic=periodic)
+                return _ts_proj(z, prec.ts_null).reshape(-1)
         else:
             ts_pc2 = ts_pc
 

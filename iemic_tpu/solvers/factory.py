@@ -83,9 +83,15 @@ def default_prec_params() -> ParameterList:
 
 def make_preconditioner(params: ParameterList | dict | None, *,
                         landm: np.ndarray, periodic: bool,
-                        grid_shape: tuple[int, int, int]
+                        grid_shape: tuple[int, int, int],
+                        int_row_provider: Callable | None = None
                         ) -> tuple[Callable, Callable]:
-    """Return (build, apply) closures for the configured method."""
+    """Return (build, apply) closures for the configured method.
+
+    int_row_provider: optional () -> (coeff, (var,k,j,i), scale) for
+    the salinity integral-condition row, evaluated at build time (the
+    row scale changes with each Jacobian's row scaling).  Consumed by
+    the BGS method; see bgs.build."""
     if params is None:
         params = ParameterList("Preconditioner")
     if isinstance(params, dict):
@@ -125,10 +131,13 @@ def make_preconditioner(params: ParameterList | dict | None, *,
         ts_prec = params.get("ATS Precond")
 
         def build(An):
+            int_row = (int_row_provider()
+                       if int_row_provider is not None else None)
             return bgs.build(An, landm, periodic=periodic,
                              spp_scheme=scheme, rhomu=rhomu,
                              rhomu_lambda=rm_lam,
-                             uv_precond=uv_prec, ts_precond=ts_prec)
+                             uv_precond=uv_prec, ts_precond=ts_prec,
+                             int_row=int_row)
 
         def apply(fac, r):
             return bgs.apply(fac, r, periodic=periodic,

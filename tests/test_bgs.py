@@ -54,7 +54,10 @@ def test_bgs_through_ocean_solve():
         "Global Grid-Size l": 3,
         "Starting Parameters": {"Combined Forcing": 0.1,
                                 "Temperature Forcing": 10.0}}},
-        solver_params={"Preconditioning": "BGS"})
+        solver_params={"Preconditioning": "BGS",
+                       "FGMRES tolerance": 1e-8,
+                       "FGMRES iterations": 300,
+                       "Precision": "Double"})
     ocean.compute_rhs()
     ocean.compute_jacobian()
     x = ocean.solve(-ocean.rhs)
