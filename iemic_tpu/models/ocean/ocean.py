@@ -784,8 +784,9 @@ class Ocean:
         if self._deflator is not None:
             return self._deflator if self._deflator is not False else None
         from ...solvers.preconditioner import pressure_null_vectors
-        cands = pressure_null_vectors(self.landm, self.cfg.l, self.cfg.m,
-                                      self.cfg.n)
+        cands = pressure_null_vectors(self.landm, self.cfg.l,
+                                      self.cfg.m, self.cfg.n,
+                                      periodic=self.cfg.periodic)
         valid = []
         scale = float(jnp.max(jnp.abs(self.jac)))
         for z in cands:

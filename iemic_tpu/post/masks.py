@@ -93,3 +93,22 @@ def write_mask_file(path: str, raw: np.ndarray) -> None:
             lines.append("".join(str(int(v)) for v in full[k, j]))
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def merge_masks(a: np.ndarray, b: np.ndarray,
+                mode: str = "union") -> np.ndarray:
+    """Merge two raw (l, m, n) masks (the matlab mask-merge helper):
+    mode 'union' keeps land where EITHER has land, 'intersect' where
+    BOTH have land, 'overwrite' takes b wherever b differs from
+    all-ocean."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.shape != b.shape:
+        raise ValueError(f"mask shapes differ: {a.shape} vs {b.shape}")
+    if mode == "union":
+        return np.where((a != 0) | (b != 0), 1, 0).astype(np.int64)
+    if mode == "intersect":
+        return np.where((a != 0) & (b != 0), 1, 0).astype(np.int64)
+    if mode == "overwrite":
+        return np.where(b != 0, 1, a).astype(np.int64)
+    raise ValueError(f"merge_masks: unknown mode '{mode}'")

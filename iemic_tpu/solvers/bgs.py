@@ -178,6 +178,7 @@ class BGSPrec(NamedTuple):
     # Method=ML); built when the corresponding "... Precond" is "MG"
     uv_mg: object = None
     ts_mg: object = None                 # on ts_rm when rhomu is on
+    spp_mg: object = None                # 2D MG on the saddle (l=1)
     # salinity integral-condition row threaded into the ATS inner
     # operator: the reference's THCM replaces the row in the CRS
     # Jacobian BEFORE the preconditioner extracts ATS
@@ -224,6 +225,7 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
           rhomu_lambda: float = 7.6e-4 / 1.8e-4,
           uv_precond: str = "Columns",
           ts_precond: str = "Columns",
+          spp_precond: str = "Jacobi",
           int_row=None) -> BGSPrec:
     """Factor the preconditioner from the stencil tensor.
 
@@ -263,18 +265,20 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
                        icoeff, iidx, iscale,
                        periodic=periodic, spp_scheme=spp_scheme,
                        rhomu=rhomu, rhomu_lambda=rhomu_lambda,
-                       uv_precond=uv_precond, ts_precond=ts_precond)
+                       uv_precond=uv_precond, ts_precond=ts_precond,
+                       spp_precond=spp_precond)
 
 
 @partial(jax.jit, static_argnames=("periodic", "spp_scheme", "rhomu",
                                    "rhomu_lambda", "uv_precond",
-                                   "ts_precond"))
+                                   "ts_precond", "spp_precond"))
 def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
                 icoeff, iidx, iscale,
                 *, periodic: bool, spp_scheme: str,
                 rhomu: bool, rhomu_lambda: float,
                 uv_precond: str = "Columns",
-                ts_precond: str = "Columns") -> BGSPrec:
+                ts_precond: str = "Columns",
+                spp_precond: str = "Jacobi") -> BGSPrec:
     _, nun, _, l, m, n = An.shape
 
     # ---- depth-averaged 2D saddle point over (u, v, p) ----------------
@@ -322,6 +326,17 @@ def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
     if spp_scheme in ("SI", "SL", "SR"):
         from .saddlepoint import build_simple
         spp_simple = build_simple(Spp, sv2d, periodic=periodic)
+
+    # 2D multigrid for the depth-averaged saddle (the barotropic
+    # system is as polar-anisotropic as the tracer blocks): embed the
+    # 9-point 2D stencil as the dk=0 plane of an l=1 27-point tensor
+    # and reuse the same semicoarsened + alternating-line machinery
+    spp_mg = None
+    if spp_precond == "MG":
+        from . import mg as _mg
+        Spp27 = jnp.zeros((27, 3, 3, 1, m, n), An.dtype)
+        Spp27 = Spp27.at[:9, :, :, 0].set(Spp)
+        spp_mg = _mg.build(Spp27, periodic=periodic)
 
     # rho-mu transform of the TS block (setup_rhomu,
     # TRIOS_BlockPreconditioner.C:1376-1419): Q = (1/sqrt(2)) *
@@ -427,7 +442,7 @@ def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
                    ts_rm_binv=ts_rm_binv,
                    ap_binv=ap_binv, ap_dummy=ap_dummy,
                    aw_binv=aw_binv, aw_dummy=aw_dummy,
-                   uv_mg=uv_mg, ts_mg=ts_mg,
+                   uv_mg=uv_mg, ts_mg=ts_mg, spp_mg=spp_mg,
                    ts_icoeff=icoeff, ts_iidx=iidx, ts_iscale=iscale,
                    ts_null=ts_null, ts_null_rm=ts_null_rm)
 
@@ -493,6 +508,17 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
         def spp_pc(v):
             z = apply_simple(prec.spp_simple, v.reshape(3, m, n),
                              periodic=periodic, scheme=spp_scheme)
+            for q in range(2):
+                sv = prec.sv2d[q]
+                z = z.at[2].add(-jnp.vdot(sv, z[2]) * sv)
+            return z.reshape(-1)
+    elif prec.spp_mg is not None:
+        from . import mg as _mg
+
+        def spp_pc(v):
+            z = _mg.apply(prec.spp_mg,
+                          v.reshape(3, 1, m, n),
+                          periodic=periodic)[:, 0]
             for q in range(2):
                 sv = prec.sv2d[q]
                 z = z.at[2].add(-jnp.vdot(sv, z[2]) * sv)

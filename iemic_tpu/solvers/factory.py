@@ -68,6 +68,7 @@ def default_prec_params() -> ParameterList:
     # reference's "Auv Solver Method = None" production mode.
     p.set("Auv Precond", "Columns")
     p.set("ATS Precond", "Columns")
+    p.set("Saddlepoint Precond", "Jacobi")   # or "MG"
     # block-GS sweep ordering M1/M2/M3 and GS vs symmetric GS
     # (TRIOS_BlockPreconditioner.H:93-99 "Permutation",
     #  :1287-1330 "Scheme")
@@ -129,6 +130,7 @@ def make_preconditioner(params: ParameterList | dict | None, *,
         rm_lam = float(params.get("rho/mu lambda"))
         uv_prec = params.get("Auv Precond")
         ts_prec = params.get("ATS Precond")
+        spp_prec = params.get("Saddlepoint Precond")
 
         def build(An):
             int_row = (int_row_provider()
@@ -137,7 +139,7 @@ def make_preconditioner(params: ParameterList | dict | None, *,
                              spp_scheme=scheme, rhomu=rhomu,
                              rhomu_lambda=rm_lam,
                              uv_precond=uv_prec, ts_precond=ts_prec,
-                             int_row=int_row)
+                             spp_precond=spp_prec, int_row=int_row)
 
         def apply(fac, r):
             return bgs.apply(fac, r, periodic=periodic,

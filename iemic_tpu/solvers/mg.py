@@ -112,6 +112,33 @@ def _column_inv(An, *, eps=1e-12):
     return _binv(B), dummy
 
 
+def _xline_inv(An, *, periodic, eps=1e-12):
+    """Batched inverses of the per-variable x-line (cyclic)
+    tridiagonal blocks: stencil locations p=1/4/7 are (i-1, i, i+1)
+    at dj=dk=0.  Uses the FULL diagonal (line Jacobi).  Returns
+    (xinv (nv*l*m, n, n), dummy (nv*l*m, n))."""
+    _, nv, _, l, m, n = An.shape
+    idx = jnp.arange(nv)
+    lo = An[1][idx, idx]                 # (nv, l, m, n)
+    dg = An[4][idx, idx]
+    hi = An[7][idx, idx]
+    B = jnp.zeros((nv, l, m, n, n), An.dtype)
+    ii = jnp.arange(n)
+    B = B.at[..., ii, ii].set(dg)
+    B = B.at[..., ii[1:], ii[:-1]].set(lo[..., 1:])
+    B = B.at[..., ii[:-1], ii[1:]].set(hi[..., :-1])
+    if periodic:
+        B = B.at[..., 0, n - 1].set(lo[..., 0])
+        B = B.at[..., n - 1, 0].set(hi[..., n - 1])
+    B = B.reshape(nv * l * m, n, n)
+    rowmax = jnp.max(jnp.abs(B), axis=2)
+    dummy = rowmax < eps
+    B = B + jnp.einsum('bi,ij->bij', dummy.astype(B.dtype),
+                       jnp.eye(n, dtype=B.dtype))
+    from ..ops.batched_linalg import inv as _binv
+    return _binv(B), dummy
+
+
 def _stencil_to_dense_jnp(An, periodic):
     """Assemble a small stencil tensor into a dense matrix, fully
     traceable (used for the coarsest-level factor only)."""
@@ -133,6 +160,14 @@ class MGLevel(NamedTuple):
     An: jnp.ndarray
     binv: jnp.ndarray
     dummy: jnp.ndarray
+    # x-line (periodic-tridiagonal) inverses for the alternating-line
+    # smoother: near the poles the spherical metric makes zonal
+    # coupling ~1/cos^2(phi) stronger than everything else (163x at
+    # 85.5 deg on the global mask), a long-range 1D ring coupling that
+    # neither vertical-line smoothing nor isotropic coarsening can
+    # damp — the classic cure is alternating-direction line relaxation
+    xinv: jnp.ndarray | None = None      # (nv*l*m, n, n)
+    xdummy: jnp.ndarray | None = None    # (nv*l*m, n)
 
 
 class MGPrec(NamedTuple):
@@ -142,14 +177,20 @@ class MGPrec(NamedTuple):
 
 
 def build(An: jnp.ndarray, *, periodic: bool, min_cols: int = 64,
-          max_levels: int = 10, damping: float = 0.9) -> MGPrec:
+          max_levels: int = 10, damping: float = 0.9,
+          xline: bool = True) -> MGPrec:
     """Build the multigrid hierarchy for one stencil sub-block."""
     levels = []
     cur = An
     nlev = 0
     while True:
         binv, dummy = _column_inv(cur)
-        levels.append(MGLevel(An=cur, binv=binv, dummy=dummy))
+        if xline:
+            xinv, xdummy = _xline_inv(cur, periodic=periodic)
+        else:
+            xinv = xdummy = None
+        levels.append(MGLevel(An=cur, binv=binv, dummy=dummy,
+                              xinv=xinv, xdummy=xdummy))
         _, nv, _, l, m, n = cur.shape
         nlev += 1
         if m * n <= min_cols or nlev >= max_levels or m < 4 or n < 4:
@@ -178,7 +219,8 @@ def build(An: jnp.ndarray, *, periodic: bool, min_cols: int = 64,
 
 
 def _smooth(lev: MGLevel, z, r, *, periodic, damping, nsweep=1):
-    """Damped line-Jacobi sweeps: z <- z + w * Binv (r - A z)."""
+    """Damped alternating-line Jacobi sweeps: a vertical (column)
+    solve followed by a zonal (x-line) solve when built."""
     from ..ops.stencil import apply_stencil
     nv, l, m, n = r.shape
     for _ in range(nsweep):
@@ -187,6 +229,12 @@ def _smooth(lev: MGLevel, z, r, *, periodic, damping, nsweep=1):
         rc = jnp.where(lev.dummy, 0.0, rc)
         dz = jnp.einsum('bij,bj->bi', lev.binv, rc)
         z = z + damping * dz.reshape(m, n, l, nv).transpose(3, 2, 0, 1)
+        if lev.xinv is not None:
+            res = r - apply_stencil(lev.An, z, periodic=periodic)
+            rx = res.reshape(nv * l * m, n)
+            rx = jnp.where(lev.xdummy, 0.0, rx)
+            dzx = jnp.einsum('bij,bj->bi', lev.xinv, rx)
+            z = z + damping * dzx.reshape(nv, l, m, n)
     return z
 
 

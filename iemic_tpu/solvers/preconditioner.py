@@ -76,21 +76,54 @@ def apply_column_prec(Binv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     return zc.reshape(m, n, l, nun).transpose(3, 2, 0, 1)
 
 
-def pressure_null_vectors(landm: np.ndarray, l: int, m: int, n: int
+def pressure_null_vectors(landm: np.ndarray, l: int, m: int, n: int,
+                          *, periodic: bool = False
                           ) -> list[np.ndarray]:
-    """Candidate pressure null modes (constant and checkerboard over
-    ocean cells, reference THCM.C:2846-2888 getNullSpace), in field
-    layout (6, l, m, n), normalized.  Validity against the actual
-    operator is checked by the caller."""
+    """Candidate pressure null modes, in field layout (6, l, m, n),
+    normalized.  Validity against the actual operator is checked by
+    the caller.
+
+    The reference's getNullSpace (THCM.C:2846-2888) builds the global
+    constant + checkerboard pair; on realistic masks the wet domain
+    can split into several CONNECTED COMPONENTS (isolated seas in the
+    global bathymetry), each carrying its own constant/checkerboard
+    pressure mode — leaving those undeflated stagnates every Krylov
+    solve near 1e-1 regardless of preconditioner.  Components are
+    found host-side with a 6-connected 3D label (+ periodic x seam
+    merge) and each contributes both candidates."""
     ocean = (landm[1:l + 1, 1:m + 1, 1:n + 1] == OCEAN)
-    out = []
-    const = np.zeros((6, l, m, n))
-    const[PP] = np.where(ocean, 1.0, 0.0)
-    out.append(const / max(np.linalg.norm(const), 1e-300))
-    cb = np.zeros((6, l, m, n))
+    from scipy import ndimage
+    lab, nlab = ndimage.label(ocean)
+    if periodic and n > 1 and nlab > 1:
+        # union components joined across the x wraparound seam
+        parent = list(range(nlab + 1))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        seam = ocean[:, :, 0] & ocean[:, :, -1]
+        for a, b in zip(lab[:, :, 0][seam], lab[:, :, -1][seam]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        lab = np.vectorize(lambda v: find(int(v)) if v else 0)(lab)
+
     ij = (np.arange(m)[:, None] + np.arange(n)[None, :]) % 2
-    cb[PP] = np.where(ocean, np.where(ij == 0, 1.0, -1.0), 0.0)
-    out.append(cb / max(np.linalg.norm(cb), 1e-300))
+    cbpat = np.where(ij == 0, 1.0, -1.0)
+    out = []
+    for c in np.unique(lab):
+        if c == 0:
+            continue
+        comp = lab == c
+        const = np.zeros((6, l, m, n))
+        const[PP] = np.where(comp, 1.0, 0.0)
+        out.append(const / max(np.linalg.norm(const), 1e-300))
+        cb = np.zeros((6, l, m, n))
+        cb[PP] = np.where(comp, cbpat, 0.0)
+        out.append(cb / max(np.linalg.norm(cb), 1e-300))
     return out
 
 
