@@ -88,19 +88,25 @@ for name in variants:
         scheme = name.upper() if name in ("si", "sl", "sr") else "KRYLOV"
         perm = int(name[3]) if name.startswith("bgs") and name[3:4].isdigit() else 1
         sym = name.endswith("sym")
-        mgprec = "mg" in name
+        tsmg = "tsmg" in name
+        mgprec = "mg" in name and not tsmg
         int_row = ((int_coeff, ocean.rowintcon,
                     float(rint) * cfg.int_sign)
                    if cfg.sres == 0 else None)
         fac = bgs.build(An, ocean.landm, periodic=cfg.periodic,
                         spp_scheme=scheme, rhomu=rhomu,
                         uv_precond="MG" if mgprec else "Columns",
-                        ts_precond="MG" if mgprec else "Columns",
+                        ts_precond="MG" if (mgprec or tsmg)
+                        else "Columns",
                         int_row=int_row)
         akw = {}
         if name == "bgs1_tuned":
             akw = dict(nit_spp=200, nit_uv=30, nit_ts=30,
                        tol_spp=1e-6, tol_uv=1e-3, tol_ts=1e-3)
+        if tsmg:
+            # production candidate: apply-once MG on the tracer block
+            # (the polar-row stagnation lives in T), columns elsewhere
+            akw = dict(nit_ts=0)
         if mgprec:
             # reference production mode: apply MG once per block
             akw = dict(nit_uv=0, nit_ts=0)

@@ -322,10 +322,13 @@ def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
         c2 / jnp.maximum(jnp.linalg.norm(c2), 1e-300),
         cb2 / jnp.maximum(jnp.linalg.norm(cb2), 1e-300)])
 
-    spp_simple = None
-    if spp_scheme in ("SI", "SL", "SR"):
-        from .saddlepoint import build_simple
-        spp_simple = build_simple(Spp, sv2d, periodic=periodic)
+    # SIMPLE factors (pointwise momentum inverse + composed Chat
+    # pressure-Schur stencil + its 2D multigrid) are always built:
+    # they precondition the 3D saddle solve of the sweep for the
+    # SI/SL/SR schemes (the legacy "KRYLOV" scheme keeps the 2D
+    # depth-averaged saddle with point-block Jacobi)
+    from .saddlepoint import build_simple
+    spp_simple = build_simple(Spp, sv2d, periodic=periodic)
 
     # 2D multigrid for the depth-averaged saddle (the barotropic
     # system is as polar-anisotropic as the tracer blocks): embed the
@@ -537,13 +540,89 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
             return z.reshape(-1)
 
     def spp_solve(ruv, rp):
-        """Depth-averaged saddle point: the barotropic long-range
-        coupling — a 2D iteration costs ~1/l of a 3D matvec, so it is
-        solved properly (SppSolver->Iterate)."""
+        """LEGACY (scheme "KRYLOV") depth-averaged 2D saddle solve —
+        kept for small-grid parity experiments; the production schemes
+        use the 3D saddle below."""
         rbar = jnp.concatenate([jnp.mean(ruv, axis=1),
                                 jnp.mean(rp, axis=1)])
         zbar = _inner_fgmres(spp_mv, spp_pc, rbar, tol_spp, nit_spp)
         return zbar.reshape(3, m, n)
+
+    # ---- the 3D saddle of SolveLower1 --------------------------------
+    # Spp3D = [Auv(3D)  Guv*lift ; mean(Duv .)  0] exactly as the
+    # reference's SppDAMatrix (TRIOS_Saddlepoint.C:228-268: 'note:
+    # depth-averaging Auv is no longer implemented'): the momentum
+    # output of this solve IS yuv (SolveLower1 'for i<nzuv: yuv[i] =
+    # yzuvp[i]').  Taking yuv from an INDEPENDENT Auv solve instead
+    # (the previous design) leaves an O(solve-error/cos(phi))
+    # depth-averaged divergence that the continuity stage can only
+    # gauge away — measured 1e3..1e7 error amplification per sweep on
+    # the masked global grid.
+    Nuv = 2 * l * m * n
+
+    def _lift(pbar):
+        return jnp.broadcast_to(pbar[None, None], (1, l, m, n))
+
+    def _dmean(uvl):
+        return jnp.mean(_block_apply(An, P_, _UV, uvl, periodic)[0],
+                        axis=0)
+
+    def s3_mv(v):
+        uvl = v[:Nuv].reshape(2, l, m, n)
+        pbar = v[Nuv:].reshape(m, n)
+        yuv = (_block_apply(An, _UV, _UV, uvl, periodic)
+               + _block_apply(An, _UV, P_, _lift(pbar), periodic))
+        return jnp.concatenate([yuv.reshape(-1),
+                                _dmean(uvl).reshape(-1)])
+
+    def _p_deflate(p2):
+        for q in range(2):
+            sv = prec.sv2d[q]
+            p2 = p2 - jnp.vdot(sv, p2) * sv
+        return p2
+
+    def _chat_vcycle(b2):
+        """One Chat V-cycle (the reference solves Chat with
+        AztecOO+Ifpack; a single MG cycle is the preconditioner-grade
+        equivalent and keeps the compile graph shallow)."""
+        from . import mg as _mg
+        z = _mg.apply2d(prec.spp_simple.chat_mg, _p_deflate(b2),
+                        periodic=periodic)
+        return _p_deflate(z)
+
+    def s3_pc(v):
+        """SIMPLE / SIMPLER preconditioner for the 3D saddle, with the
+        COLUMN-BLOCK momentum inverse as Ahat (captures vertical
+        physics + cell-local Coriolis; the reference uses the 2x2
+        block diagonal, TRIOS_Saddlepoint.H SppSimplePrec)."""
+        ruv = v[:Nuv].reshape(2, l, m, n)
+        rp = v[Nuv:].reshape(m, n)
+        if spp_scheme == "SR":
+            u0 = _apply_col_inv(prec.uv_binv, ruv)
+            p0 = _chat_vcycle(_dmean(u0) - rp)
+            ruv = ruv - _block_apply(An, _UV, P_, _lift(p0), periodic)
+        else:
+            p0 = jnp.zeros((m, n), v.dtype)
+        ustar = _apply_col_inv(prec.uv_binv, ruv)
+        dp = _chat_vcycle(_dmean(ustar) - rp)
+        if spp_scheme == "SL":
+            u = ustar
+        else:
+            u = ustar - _apply_col_inv(
+                prec.uv_binv,
+                _block_apply(An, _UV, P_, _lift(dp), periodic))
+        return jnp.concatenate([u.reshape(-1),
+                                _p_deflate(p0 + dp).reshape(-1)])
+
+    def spp_solve3(ruv3, bp3):
+        """Solve the 3D saddle: returns (yuv (2,l,m,n), pbar (m,n))."""
+        rhs = jnp.concatenate([ruv3.reshape(-1),
+                               _p_deflate(jnp.mean(bp3[0], axis=0))
+                               .reshape(-1)])
+        sol = _inner_fgmres(s3_mv, s3_pc, rhs, tol_spp, nit_spp)
+        sol = sol.reshape(-1)
+        return (sol[:Nuv].reshape(2, l, m, n),
+                _p_deflate(sol[Nuv:].reshape(m, n)))
 
     def uv_mv(v):
         return _block_apply(An, _UV, _UV, v.reshape(2, l, m, n),
@@ -662,13 +741,20 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
 
     # ---- forward sweeps (SolveLower1/2/3) ----------------------------
     if permutation == 1:
-        # M1: [Ap | Spp | Auv | Aw | ATS] — pressure first, tracers last
+        # M1: [Ap | Spp | Aw | ATS] — pressure first, tracers last
+        # (SolveLower1, TRIOS_BlockPreconditioner.C:1479-1611)
         ytilp = ap_solve(bw)
         ruv = buv - _block_apply(An, _UV, P_, ytilp, periodic)
-        zbar = spp_solve(ruv, bp)
-        yp = prescorr(ytilp + zbar[2][None, None, :, :])
-        ruv2 = buv - _block_apply(An, _UV, P_, yp, periodic)
-        yuv = auv_solve(ruv2)
+        if spp_scheme == "KRYLOV":
+            # legacy 2D depth-averaged saddle + separate Auv solve
+            zbar = spp_solve(ruv, bp)
+            yp = prescorr(ytilp + zbar[2][None, None, :, :])
+            ruv2 = buv - _block_apply(An, _UV, P_, yp, periodic)
+            yuv = auv_solve(ruv2)
+        else:
+            # the reference structure: yuv comes FROM the 3D saddle
+            yuv, pbar = spp_solve3(ruv, bp)
+            yp = prescorr(ytilp + pbar[None, None, :, :])
         rw = bp - _block_apply(An, P_, _UV, yuv, periodic)
         yw = aw_solve(rw)
         rts = (bts

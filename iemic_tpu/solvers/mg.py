@@ -282,3 +282,165 @@ def apply(prec: MGPrec, r: jnp.ndarray, *, periodic: bool,
         res = r - apply_stencil(prec.levels[0].An, z, periodic=periodic)
         z = z + _vcycle(prec, 0, res, periodic=periodic)
     return z
+
+
+# ---------------------------------------------------------------------
+# Scalar 2D multigrid over a 25-point (5x5) stencil — used for the
+# Chat pressure Schur complement of the SIMPLE saddle preconditioner
+# (saddlepoint.py): the reference solves Chat with AztecOO + Ifpack
+# ILU (TRIOS_Saddlepoint.H:259-276); on the global grid point-Jacobi
+# stagnates on the polar-anisotropic elliptic problem, MG does not.
+# ---------------------------------------------------------------------
+
+_OFFS25 = np.array([(di, dj) for dj in range(-2, 3)
+                    for di in range(-2, 3)], dtype=np.int64)
+_O25_INDEX = {(int(di), int(dj)): q
+              for q, (di, dj) in enumerate(_OFFS25)}
+
+
+def _shift2d(f, di: int, dj: int, periodic: bool):
+    """f shifted so index (j, i) reads f[j+dj, i+di] (same convention
+    as saddlepoint._shift2d)."""
+    m, n = f.shape
+    fp = jnp.pad(f, ((2, 2), (2, 2)))
+    if periodic:
+        fp = fp.at[:, :2].set(fp[:, -4:-2])
+        fp = fp.at[:, -2:].set(fp[:, 2:4])
+    return fp[2 + dj:2 + dj + m, 2 + di:2 + di + n]
+
+
+def apply25(C, x, periodic: bool):
+    acc = 0.0
+    for q, (di, dj) in enumerate(_OFFS25):
+        acc = acc + C[q] * _shift2d(x, int(di), int(dj), periodic)
+    return acc
+
+
+def coarsen25(C, *, periodic: bool):
+    """Galerkin PWC coarsening of a (25, m, n) scalar stencil (m, n
+    even).  Fine offset (di, dj) from parity (b, a) lands on coarse
+    ((b+di)>>1, (a+dj)>>1), always within the 5x5 neighborhood."""
+    _, m, n = C.shape
+    mc, nc = m // 2, n // 2
+    Cr = C.reshape(25, mc, 2, nc, 2)
+    out = jnp.zeros((25, mc, nc), C.dtype)
+    for q, (di, dj) in enumerate(_OFFS25):
+        di, dj = int(di), int(dj)
+        for a in range(2):
+            DJ = (a + dj) >> 1
+            for b in range(2):
+                DI = (b + di) >> 1
+                qc = _O25_INDEX[(DI, DJ)]
+                out = out.at[qc].add(Cr[q, :, a, :, b])
+    return out
+
+
+def _xline25(C, *, periodic: bool, eps=1e-12):
+    """Batched inverses of the pentadiagonal (periodic) x-line blocks
+    (offsets with dj == 0), per row j."""
+    _, m, n = C.shape
+    B = jnp.zeros((m, n, n), C.dtype)
+    ii = np.arange(n)                      # concrete (host) indices
+    for di in range(-2, 3):
+        band = C[_O25_INDEX[(di, 0)]]          # (m, n)
+        col = (ii + di) % n if periodic else ii + di
+        ok = ((col >= 0) & (col < n)) if not periodic \
+            else np.ones_like(col, bool)
+        B = B.at[:, ii[ok], col[ok]].add(band[:, ii[ok]])
+    rowmax = jnp.max(jnp.abs(B), axis=2)
+    dummy = rowmax < eps
+    B = B + jnp.einsum('bi,ij->bij', dummy.astype(B.dtype),
+                       jnp.eye(n, dtype=B.dtype))
+    from ..ops.batched_linalg import inv as _binv
+    return _binv(B), dummy
+
+
+class MG2DLevel(NamedTuple):
+    C: jnp.ndarray
+    dinv: jnp.ndarray       # pointwise inverse diagonal
+    dmask: jnp.ndarray      # 1.0 on live rows
+    xinv: jnp.ndarray
+    xdummy: jnp.ndarray
+
+
+class MG2DPrec(NamedTuple):
+    levels: tuple
+    coarse_inv: jnp.ndarray
+    damping: jnp.ndarray
+
+
+def build2d(C: jnp.ndarray, *, periodic: bool, min_cols: int = 64,
+            max_levels: int = 10, damping: float = 0.8) -> MG2DPrec:
+    levels = []
+    cur = C
+    nlev = 0
+    while True:
+        _, m, n = cur.shape
+        d = cur[_O25_INDEX[(0, 0)]]
+        scale = jnp.maximum(jnp.max(jnp.abs(cur), axis=0), 1e-30)
+        live = jnp.abs(d) > 1e-12 * scale
+        dinv = jnp.where(live, 1.0 / jnp.where(live, d, 1.0), 0.0)
+        xinv, xdummy = _xline25(cur, periodic=periodic)
+        levels.append(MG2DLevel(C=cur, dinv=dinv,
+                                dmask=live.astype(C.dtype),
+                                xinv=xinv, xdummy=xdummy))
+        nlev += 1
+        if m * n <= min_cols or nlev >= max_levels or m < 4 or n < 4:
+            break
+        mpad, npad = m % 2, n % 2
+        if mpad or npad:
+            cur = jnp.pad(cur, ((0, 0), (0, mpad), (0, npad)))
+        cur = coarsen25(cur, periodic=periodic)
+
+    _, m, n = cur.shape
+    N = m * n
+    eye = jnp.eye(N, dtype=C.dtype).reshape(N, m, n)
+    cols = jax.vmap(lambda v: apply25(cur, v, periodic).reshape(-1))(eye)
+    A = cols.T
+    scale = jnp.max(jnp.abs(A))
+    rowmax = jnp.max(jnp.abs(A), axis=1)
+    empty = (rowmax < 1e-12 * jnp.maximum(scale, 1e-30)).astype(A.dtype)
+    A = A + jnp.diag(empty) + 1e-12 * scale * jnp.eye(N, dtype=A.dtype)
+    from ..ops.batched_linalg import inv_large
+    return MG2DPrec(levels=tuple(levels), coarse_inv=inv_large(A),
+                    damping=jnp.asarray(damping, C.dtype))
+
+
+def _smooth2d(lev: MG2DLevel, z, r, *, periodic, damping):
+    res = r - apply25(lev.C, z, periodic)
+    z = z + damping * lev.dmask * lev.dinv * res
+    res = r - apply25(lev.C, z, periodic)
+    rx = jnp.where(lev.xdummy, 0.0, res)
+    z = z + damping * jnp.einsum('bij,bj->bi', lev.xinv, rx)
+    return z
+
+
+def _vcycle2d(prec: MG2DPrec, k: int, r, *, periodic):
+    lev = prec.levels[k]
+    m, n = r.shape
+    z = jnp.zeros_like(r)
+    z = _smooth2d(lev, z, r, periodic=periodic, damping=prec.damping)
+    if k == len(prec.levels) - 1:
+        return z
+    res = r - apply25(lev.C, z, periodic)
+    mpad, npad = m % 2, n % 2
+    if mpad or npad:
+        res = jnp.pad(res, ((0, mpad), (0, npad)))
+    mc, nc = (m + mpad) // 2, (n + npad) // 2
+    rc = res.reshape(mc, 2, nc, 2).sum(axis=(1, 3))
+    if k + 1 == len(prec.levels) - 1:
+        zc = (prec.coarse_inv @ rc.reshape(-1)).reshape(mc, nc)
+        zc = _smooth2d(prec.levels[k + 1], zc, rc, periodic=periodic,
+                       damping=prec.damping)
+    else:
+        zc = _vcycle2d(prec, k + 1, rc, periodic=periodic)
+    zf = jnp.repeat(jnp.repeat(zc, 2, axis=0), 2, axis=1)[:m, :n]
+    z = z + zf
+    return _smooth2d(lev, z, r, periodic=periodic, damping=prec.damping)
+
+
+@partial(jax.jit, static_argnames=("periodic",))
+def apply2d(prec: MG2DPrec, r: jnp.ndarray, *, periodic: bool
+            ) -> jnp.ndarray:
+    """z ~= C^{-1} r by one V-cycle.  r: (m, n)."""
+    return _vcycle2d(prec, 0, r, periodic=periodic)

@@ -81,6 +81,11 @@ class SppSimple(NamedTuple):
     chat: jnp.ndarray       # (25, m, n) composed pressure Schur stencil
     chat_dinv: jnp.ndarray  # (m, n) inverse diagonal of chat
     nullmodes: jnp.ndarray  # (2, m, n) barotropic pressure null modes
+    # scalar 2D multigrid on Chat (mg.build2d): the reference solves
+    # Chat with AztecOO+Ifpack (TRIOS_Saddlepoint.H:259-276);
+    # point-Jacobi stagnates on the global grid's polar-anisotropic
+    # elliptic problem, the MG V-cycle does not
+    chat_mg: object = None
 
 
 def build_simple(Spp: jnp.ndarray, sv2d: jnp.ndarray, *,
@@ -135,8 +140,12 @@ def build_simple(Spp: jnp.ndarray, sv2d: jnp.ndarray, *,
                                                     axis=0), 1e-30)
     chat_dinv = jnp.where(okc, 1.0 / jnp.where(okc, dC, 1.0), 1.0)
 
+    from . import mg as _mg
+    chat_mg = _mg.build2d(chat, periodic=periodic)
+
     return SppSimple(Spp=Spp, auv_inv=auv_inv, chat=chat,
-                     chat_dinv=chat_dinv, nullmodes=sv2d)
+                     chat_dinv=chat_dinv, nullmodes=sv2d,
+                     chat_mg=chat_mg)
 
 
 def _deflate(x: jnp.ndarray, modes: jnp.ndarray) -> jnp.ndarray:
@@ -161,9 +170,17 @@ def _chat_solve(sp: SppSimple, b: jnp.ndarray, periodic: bool,
         return apply_stencil_2d(sp.chat, _OFFS25, v.reshape(shape),
                                 periodic).reshape(-1)
 
-    def pc(v):
-        z = sp.chat_dinv * _deflate(v.reshape(shape), sp.nullmodes)
-        return z.reshape(-1)
+    if sp.chat_mg is not None:
+        from . import mg as _mg
+
+        def pc(v):
+            z = _mg.apply2d(sp.chat_mg, v.reshape(shape),
+                            periodic=periodic)
+            return _deflate(z, sp.nullmodes).reshape(-1)
+    else:
+        def pc(v):
+            z = sp.chat_dinv * _deflate(v.reshape(shape), sp.nullmodes)
+            return z.reshape(-1)
 
     res = _fgmres_flat(mv, pc, b.reshape(-1), jnp.zeros_like(b).reshape(-1),
                        jnp.asarray(1e-6, b.dtype), iters)
