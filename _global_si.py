@@ -56,7 +56,7 @@ def pc(v):
 x = jnp.zeros_like(b)
 bn = float(jnp.linalg.norm(b))
 tot = 0
-for cycle in range(6):
+for cycle in range(3):
     r = b - mv(x)
     rn = float(jnp.linalg.norm(r))
     print("cycle %d: tot_iters=%d relres=%.3e (%.0fs)"
@@ -64,7 +64,7 @@ for cycle in range(6):
     if rn / bn < 1e-8:
         break
     res = _fgmres_flat(mv, pc, r, jnp.zeros_like(r),
-                       jnp.asarray(1e-8 * bn / rn), 60)
+                       jnp.asarray(1e-8 * bn / rn), 200)
     x = x + res.x
     tot += int(res.iters)
 r = b - mv(x)

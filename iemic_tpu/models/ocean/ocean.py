@@ -473,23 +473,26 @@ class Ocean:
             return _rhs_from_parts(An, x, par, fields, cpl,
                                    int_correction)
 
-        def _jac(atoms_, x, par, fields, cpl, mix_blk):
-            """mix_blk: the (27,2,2,l,m,n) mixing Jacobian block, or a
-            zero-size token when Mixing == 0.  It is computed by a
-            SEPARATELY jitted function and passed in: fusing the
-            54-tangent mixing autodiff into this graph multiplies XLA's
-            optimization time ~5x at production size (329 s -> ~70 s
-            total on the axon TPU), paid on every process launch since
-            the remote backend has no persistent executable cache."""
-            Al = _lin(atoms_, par, fields, cpl)
-            An = assembly.nlin(Al, x, par, grid, landm, cfg.periodic,
-                               jac=True)
+        # The Jacobian build is staged through SEPARATELY jitted
+        # functions: XLA's optimization time on the fused
+        # lin+nlin+mixing+boundaries graph is ~5x the sum of its parts
+        # at production size (369 s vs ~70 s on the axon TPU), and the
+        # remote backend has no persistent executable cache so that is
+        # paid on every process launch.  The extra stage boundaries
+        # cost ~4 round trips of the coefficient tensor through HBM
+        # (~10 ms) against seconds of runtime.
+        def _jac_nlin(Al, x, par):
+            return assembly.nlin(Al, x, par, grid, landm,
+                                 cfg.periodic, jac=True)
+
+        def _jac_finish(An, mix_blk):
             if mixing is not None:
                 # mixing Jacobian inserted before boundary handling,
                 # exactly like vmix_jac in the reference's matrix()
                 # (usrc.F90:472-492: nlin_jac, vmix_jac, boundaries)
                 An = An.at[:, TT:SS + 1, TT:SS + 1].add(mix_blk)
             return assembly.boundaries(An, landm, grid)
+
 
         def _apply(An, v):
             """Jacobian action including the integral-condition row
@@ -509,7 +512,9 @@ class Ocean:
 
         _rhs_jit = jax.jit(_rhs)
         _an_rhs_jit = jax.jit(_an_rhs)
-        _jac_jit = jax.jit(_jac)
+        _lin_jit = jax.jit(_lin)
+        _jac_nlin_jit = jax.jit(_jac_nlin)
+        _jac_finish_jit = jax.jit(_jac_finish)
         _mix_stencil_jit = (jax.jit(lambda x, par:
                                     mixing.stencil(x, par))
                             if mixing is not None else None)
@@ -518,7 +523,9 @@ class Ocean:
             mix_blk = (_mix_stencil_jit(x, par)
                        if _mix_stencil_jit is not None
                        else jnp.zeros((0,)))
-            return _jac_jit(self.atoms, x, par, fields, cpl, mix_blk)
+            Al = _lin_jit(self.atoms, par, fields, cpl)
+            An = _jac_nlin_jit(Al, x, par)
+            return _jac_finish_jit(An, mix_blk)
 
         # public wrappers keep the historical signatures; the atoms
         # pytree is injected per call instead of captured as constants

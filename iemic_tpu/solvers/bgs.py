@@ -163,6 +163,12 @@ class BGSPrec(NamedTuple):
     Qts: jnp.ndarray | None = None       # (2, 2) involution
     ts_rm: jnp.ndarray | None = None     # (27,2,2,l,m,n) Q A_TS Q
     ts_rm_binv: jnp.ndarray | None = None  # its column-block inverses
+    # zonal (x-line) momentum inverses for the saddle's two-stage
+    # Ahat (column solve + x-line correction): at the poles the u/v
+    # ring modes are invisible to vertical column blocks and stall
+    # the inner saddle Krylov at ~5e-4
+    uv_xinv: jnp.ndarray | None = None
+    uv_xdummy: jnp.ndarray | None = None
     # prefactored hydrostatic (Ap: w-rows, p-col) and continuity
     # (Aw: p-rows, w-col) vertical tridiag inverses — the analog of the
     # reference's once-per-Compute Ap triangular factor
@@ -220,7 +226,7 @@ def _column_block_inv(An, vars_idx, *, eps=1e-12):
 
 
 def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
-          dzw=None, spp_scheme: str = "KRYLOV",
+          dzw=None, spp_scheme: str = "SI",
           rhomu: bool = False,
           rhomu_lambda: float = 7.6e-4 / 1.8e-4,
           uv_precond: str = "Columns",
@@ -414,6 +420,11 @@ def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
         ts_mg = _mg.build(ts_rm if rhomu else An[:, _TS][:, :, _TS],
                           periodic=periodic)
 
+    # zonal line inverses of the momentum block for the saddle Ahat
+    from .mg import _xline_inv as _mgxl
+    uv_xinv, uv_xdummy = _mgxl(An[:, _UV][:, :, _UV],
+                               periodic=periodic)
+
     # prefactor the hydrostatic / continuity vertical solves
     ap_binv, ap_dummy = _column_tridiag_factor(
         An[4][WW:WW + 1, PP:PP + 1], An[13][WW:WW + 1, PP:PP + 1],
@@ -446,6 +457,7 @@ def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
                    ap_binv=ap_binv, ap_dummy=ap_dummy,
                    aw_binv=aw_binv, aw_dummy=aw_dummy,
                    uv_mg=uv_mg, ts_mg=ts_mg, spp_mg=spp_mg,
+                   uv_xinv=uv_xinv, uv_xdummy=uv_xdummy,
                    ts_icoeff=icoeff, ts_iidx=iidx, ts_iscale=iscale,
                    ts_null=ts_null, ts_null_rm=ts_null_rm)
 
@@ -471,8 +483,8 @@ def _inner_fgmres(matvec, prec, b, tol, maxiter):
                                    "permutation", "symmetric",
                                    "tol_spp", "tol_uv", "tol_ts"))
 def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
-          nit_spp: int = 100, nit_uv: int = 12,
-          nit_ts: int = 12, spp_scheme: str = "KRYLOV",
+          nit_spp: int = 30, nit_uv: int = 12,
+          nit_ts: int = 0, spp_scheme: str = "SI",
           permutation: int = 1, symmetric: bool = False,
           tol_spp: float = 1e-4, tol_uv: float = 1e-2,
           tol_ts: float = 1e-2) -> jnp.ndarray:
@@ -590,26 +602,38 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
                         periodic=periodic)
         return _p_deflate(z)
 
+    def _ahat(ruv):
+        """Two-stage approximate momentum inverse for SIMPLE: exact
+        vertical column solve, then a zonal line correction (the polar
+        u/v ring modes are invisible to the column blocks; cf. the MG
+        alternating-line smoother)."""
+        u = _apply_col_inv(prec.uv_binv, ruv)
+        res = ruv - _block_apply(An, _UV, _UV, u, periodic)
+        rx = jnp.where(prec.uv_xdummy, 0.0,
+                       res.reshape(2 * l * m, n))
+        u = u + jnp.einsum('bij,bj->bi', prec.uv_xinv,
+                           rx).reshape(2, l, m, n)
+        return u
+
     def s3_pc(v):
         """SIMPLE / SIMPLER preconditioner for the 3D saddle, with the
-        COLUMN-BLOCK momentum inverse as Ahat (captures vertical
-        physics + cell-local Coriolis; the reference uses the 2x2
-        block diagonal, TRIOS_Saddlepoint.H SppSimplePrec)."""
+        two-stage column+zonal-line momentum inverse as Ahat (the
+        reference uses the 2x2 block diagonal,
+        TRIOS_Saddlepoint.H SppSimplePrec)."""
         ruv = v[:Nuv].reshape(2, l, m, n)
         rp = v[Nuv:].reshape(m, n)
         if spp_scheme == "SR":
-            u0 = _apply_col_inv(prec.uv_binv, ruv)
+            u0 = _ahat(ruv)
             p0 = _chat_vcycle(_dmean(u0) - rp)
             ruv = ruv - _block_apply(An, _UV, P_, _lift(p0), periodic)
         else:
             p0 = jnp.zeros((m, n), v.dtype)
-        ustar = _apply_col_inv(prec.uv_binv, ruv)
+        ustar = _ahat(ruv)
         dp = _chat_vcycle(_dmean(ustar) - rp)
         if spp_scheme == "SL":
             u = ustar
         else:
-            u = ustar - _apply_col_inv(
-                prec.uv_binv,
+            u = ustar - _ahat(
                 _block_apply(An, _UV, P_, _lift(dp), periodic))
         return jnp.concatenate([u.reshape(-1),
                                 _p_deflate(p0 + dp).reshape(-1)])

@@ -47,10 +47,13 @@ def default_prec_params() -> ParameterList:
     p.set("Method", "Columns")
     # BGS inner-iteration budget (the reference's per-block solver
     # parameter sublists, ocean_preconditioner_params.xml:427-560)
-    p.set("Saddlepoint iterations", 100)
-    p.set("Saddlepoint scheme", "KRYLOV")   # or SI / SL / SR
+    p.set("Saddlepoint iterations", 30)
+    # "SI"/"SL"/"SR": the 3D saddle of SolveLower1 with the
+    # SIMPLE-type preconditioner (production); "KRYLOV" keeps the
+    # legacy depth-averaged 2D saddle for parity experiments
+    p.set("Saddlepoint scheme", "SI")
     p.set("Auv iterations", 12)
-    p.set("ATS iterations", 12)
+    p.set("ATS iterations", 0)   # 0 = apply ATS Precond once
     # per-block inner tolerances (reference: each block's solver
     # config, ocean_preconditioner_params.xml:427-560)
     p.set("Saddlepoint tolerance", 1e-4)
@@ -67,7 +70,7 @@ def default_prec_params() -> ParameterList:
     # block's iterations to 0 applies the preconditioner once — the
     # reference's "Auv Solver Method = None" production mode.
     p.set("Auv Precond", "Columns")
-    p.set("ATS Precond", "Columns")
+    p.set("ATS Precond", "MG")
     p.set("Saddlepoint Precond", "Jacobi")   # or "MG"
     # block-GS sweep ordering M1/M2/M3 and GS vs symmetric GS
     # (TRIOS_BlockPreconditioner.H:93-99 "Permutation",

@@ -242,6 +242,11 @@ def _vcycle(prec: MGPrec, k: int, r, *, periodic):
     from ..ops.stencil import apply_stencil
     lev = prec.levels[k]
     nv, l, m, n = r.shape
+    if len(prec.levels) == 1:
+        # degenerate hierarchy (tiny grids): the dense factor IS the
+        # finest level — apply it exactly (natural (nv,l,m,n) order,
+        # matching _stencil_to_dense_jnp's basis ordering)
+        return (prec.coarse_inv @ r.reshape(-1)).reshape(r.shape)
     z = jnp.zeros_like(r)
     z = _smooth(lev, z, r, periodic=periodic, damping=prec.damping)
     if k == len(prec.levels) - 1:
@@ -255,8 +260,9 @@ def _vcycle(prec: MGPrec, k: int, r, *, periodic):
     rc = res.reshape(nv, l, mc, 2, nc, 2).sum(axis=(3, 5))
 
     if k + 1 == len(prec.levels) - 1:
-        zc = (prec.coarse_inv @ rc.transpose(2, 3, 1, 0).reshape(-1))
-        zc = zc.reshape(mc, nc, l, nv).transpose(3, 2, 0, 1)
+        # natural (nv, l, mc, nc) ordering — must match the basis
+        # ordering of _stencil_to_dense_jnp
+        zc = (prec.coarse_inv @ rc.reshape(-1)).reshape(rc.shape)
         # one smoothing pass on the dense solution to wash out the
         # gauge of the shift
         zc = _smooth(prec.levels[k + 1], zc, rc, periodic=periodic,

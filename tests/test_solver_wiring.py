@@ -16,6 +16,10 @@ from tests.test_ocean_core import make_ocean
 
 
 def _solve_check(solver_params, rtol=1e-6):
+    # dispatch test, not an operating-point test: pin a tight linear
+    # tolerance (the production default is the reference's 1e-4)
+    solver_params = {"FGMRES tolerance": 1e-8,
+                     "FGMRES iterations": 300, **solver_params}
     ocean = Ocean({"THCM": {
         "Global Grid-Size n": 5, "Global Grid-Size m": 5,
         "Global Grid-Size l": 4,
@@ -63,7 +67,7 @@ def test_milu_host():
 
 
 def test_none_prec():
-    _solve_check({"Preconditioning": "None",
+    _solve_check({"Preconditioning": "None", "Precision": "Double",
                   "FGMRES iterations": 2000}, rtol=1e-5)
 
 
