@@ -33,8 +33,7 @@ ocean = Ocean({"THCM": {
                    "FGMRES tolerance": float(os.environ.get("BENCH_TOL", 1e-4)),
                    "FGMRES iterations": maxiter,
                    "Matvec kernel": os.environ.get("BENCH_KERNEL", "auto")},
-    data_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "data"))
+    data_dir="data")
 print(f"ctor: {time.perf_counter()-t0:.1f}s", flush=True)
 
 t0 = time.perf_counter()

@@ -26,7 +26,14 @@ import jax.numpy as jnp
 
 def inv(A: jnp.ndarray) -> jnp.ndarray:
     """Batched inverse of (..., d, d) via Gauss-Jordan with partial
-    pivoting.  d must be a static (trace-time) constant."""
+    pivoting.  d must be a static (trace-time) constant.
+
+    Small d uses the Python-unrolled pivot loop (fastest at runtime);
+    d > 32 switches to the fori_loop variant whose compiled graph is
+    one loop body (the unrolled form at d ~ 100 costs minutes of XLA
+    optimization per process on the remote-TPU backend)."""
+    if A.shape[-1] > 32:
+        return inv_batched_loop(A)
     d = A.shape[-1]
     batch = A.shape[:-2]
     A = A.reshape((-1, d, d))
@@ -95,3 +102,46 @@ def inv_large(A: jnp.ndarray) -> jnp.ndarray:
 
     M = lax.fori_loop(0, d, step, M)
     return M[:, d:]
+
+
+def inv_batched_loop(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., d, d) inverse with the pivot loop as
+    ``lax.fori_loop`` — same semantics as :func:`inv` but the compiled
+    graph is one small loop body instead of d unrolled pivot steps
+    (the unrolled form at d ~ 100 costs minutes of XLA optimization on
+    the remote-TPU backend, paid per process launch)."""
+    import jax
+    from jax import lax
+
+    d = A.shape[-1]
+    batch = A.shape[:-2]
+    A = A.reshape((-1, d, d))
+    B = A.shape[0]
+    M = jnp.concatenate([A, jnp.broadcast_to(
+        jnp.eye(d, dtype=A.dtype), (B, d, d))], axis=-1)
+    rows = jnp.arange(d)
+
+    def step(k, M):
+        col = jnp.abs(M[:, :, k])
+        col = jnp.where(rows[None, :] >= k, col, -1.0)
+        piv = jnp.argmax(col, axis=1)
+        pivrow = jnp.take_along_axis(
+            M, piv[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        krow = jnp.take_along_axis(
+            M, jnp.full((B, 1, 1), 0, jnp.int32) + k, axis=1)[:, 0]
+        is_piv = rows[None, :] == piv[:, None]
+        is_k = rows[None, :] == k
+        M = jnp.where(is_k[..., None], pivrow[:, None, :],
+                      jnp.where(is_piv[..., None], krow[:, None, :], M))
+        pivval = jnp.take_along_axis(
+            M, jnp.full((B, 1, 1), 0, jnp.int32) + k, axis=1)[:, 0, k]
+        prow = jnp.take_along_axis(
+            M, jnp.full((B, 1, 1), 0, jnp.int32) + k,
+            axis=1)[:, 0] / pivval[:, None]
+        fac = jnp.where(is_k, 0.0, M[:, :, k])
+        M = M - fac[..., None] * prow[:, None, :]
+        M = jnp.where(is_k[..., None], prow[:, None, :], M)
+        return M
+
+    M = lax.fori_loop(0, d, step, M)
+    return M[:, :, d:].reshape(*batch, d, d)

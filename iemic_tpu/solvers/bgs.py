@@ -486,7 +486,7 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
           nit_spp: int = 30, nit_uv: int = 12,
           nit_ts: int = 0, spp_scheme: str = "SI",
           permutation: int = 1, symmetric: bool = False,
-          tol_spp: float = 1e-4, tol_uv: float = 1e-2,
+          tol_spp: float = 1e-6, tol_uv: float = 1e-2,
           tol_ts: float = 1e-2) -> jnp.ndarray:
     """Block-GS sweep z ~= J^{-1} r.
 
@@ -690,14 +690,37 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
             z4 = z4 - jnp.vdot(sv, z4) * sv
         return z4
 
+    def _ts_meanS_fix(z4, r4):
+        """Exact rank-one action on the const-S direction, consistent
+        with the integral-condition row: the projection above removes
+        mean-S from every preconditioner output (it must — the MG
+        coarse Tikhonov shift would otherwise amplify it ~1/shift),
+        but with the intcond row in the inner operator the solution
+        HAS a definite mean-S; blocking it floors the inner solve at
+        the ir-row residual (measured 1e-4..2e-3 stalls on every
+        configuration).  alpha solves
+        iscale * <icoeff, alpha*sv> = r[ir]."""
+        if prec.ts_icoeff is None or prec.ts_null is None:
+            return z4
+        sv = prec.ts_null[1]                   # const-S (0 if gated)
+        k, j, i = prec.ts_iidx[0], prec.ts_iidx[1], prec.ts_iidx[2]
+        r_ir = r4[1, k, j, i]
+        denom = prec.ts_iscale * jnp.vdot(prec.ts_icoeff, sv)
+        alpha = jnp.where(jnp.abs(denom) > 1e-30, r_ir
+                          / jnp.where(jnp.abs(denom) > 1e-30,
+                                      denom, 1.0), 0.0)
+        return z4 + alpha * sv
+
     def ts_mv(v):
         v4 = v.reshape(2, l, m, n)
         y = _block_apply(An, _TS, _TS, v4, periodic)
         return _ts_row_fix(y, v4).reshape(-1)
 
     def ts_pc(v):
-        z = _apply_col_inv(prec.ts_binv, v.reshape(2, l, m, n))
-        return _ts_proj(z, prec.ts_null).reshape(-1)
+        v4 = v.reshape(2, l, m, n)
+        z = _apply_col_inv(prec.ts_binv, v4)
+        z = _ts_proj(z, prec.ts_null)
+        return _ts_meanS_fix(z, v4).reshape(-1)
 
     if prec.ts_rm is not None:
         # rho-mu path (SolveATS with QTS, TRIOS_BlockPreconditioner
@@ -738,15 +761,16 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
                 qz = _inner_fgmres(rm_mv, rm_pc, qb, tol_ts, nit_ts)
             y = jnp.einsum('ab,b...->a...', prec.Qts,
                            qz.reshape(2, l, m, n))
-            return _ts_proj(y, prec.ts_null)
+            return _ts_meanS_fix(_ts_proj(y, prec.ts_null), b)
     else:
         if prec.ts_mg is not None:
             from . import mg as _mg
 
             def ts_pc2(v):
-                z = _mg.apply(prec.ts_mg, v.reshape(2, l, m, n),
-                              periodic=periodic)
-                return _ts_proj(z, prec.ts_null).reshape(-1)
+                v4 = v.reshape(2, l, m, n)
+                z = _mg.apply(prec.ts_mg, v4, periodic=periodic)
+                z = _ts_proj(z, prec.ts_null)
+                return _ts_meanS_fix(z, v4).reshape(-1)
         else:
             ts_pc2 = ts_pc
 

@@ -42,7 +42,7 @@ def mv(v):
 b = proj((-(ocean.rhs * R)).reshape(-1))
 int_row = (int_coeff, ocean.rowintcon, float(rint) * cfg.int_sign)
 scheme = os.environ.get("SPP", "SI")
-nspp = int(os.environ.get("NSPP", 30))
+nspp = int(os.environ.get("NSPP", 60))
 t0 = time.time()
 fac = bgs.build(An, ocean.landm, periodic=True, int_row=int_row,
                 ts_precond="MG", spp_scheme=scheme)
@@ -56,7 +56,7 @@ def pc(v):
 x = jnp.zeros_like(b)
 bn = float(jnp.linalg.norm(b))
 tot = 0
-for cycle in range(3):
+for cycle in range(5):
     r = b - mv(x)
     rn = float(jnp.linalg.norm(r))
     print("cycle %d: tot_iters=%d relres=%.3e (%.0fs)"
@@ -64,10 +64,29 @@ for cycle in range(3):
     if rn / bn < 1e-8:
         break
     res = _fgmres_flat(mv, pc, r, jnp.zeros_like(r),
-                       jnp.asarray(1e-8 * bn / rn), 200)
+                       jnp.asarray(1e-8 * bn / rn), 60)
     x = x + res.x
     tot += int(res.iters)
 r = b - mv(x)
 print("FINAL tot_iters=%d relres=%.3e (%.0fs)"
       % (tot, float(jnp.linalg.norm(r)) / bn, time.time() - t0),
       flush=True)
+
+# stagnation structure dump
+names = "u v w p T S".split()
+rv = np.asarray((b - mv(x)).reshape(sh))
+lm = np.asarray(ocean.landm)
+wet = (lm[1:l + 1, 1:m + 1, 1:n + 1] == 0)
+for a in range(6):
+    jp = np.linalg.norm(rv[a], axis=(0, 2))
+    kp = np.linalg.norm(rv[a], axis=(1, 2))
+    print(f"{names[a]}: |r|={np.linalg.norm(rv[a]):.2e} "
+          f"jmax={int(np.argmax(jp))}({jp.max():.1e}) "
+          f"kmax={int(np.argmax(kp))}({kp.max():.1e})", flush=True)
+ra = np.abs(rv)
+idx = np.unravel_index(np.argsort(ra, axis=None)[::-1][:12], ra.shape)
+for q in range(12):
+    a, k, j, i = (int(idx[0][q]), int(idx[1][q]), int(idx[2][q]),
+                  int(idx[3][q]))
+    print(f"  top {names[a]} k={k} j={j} i={i} r={ra[a,k,j,i]:.2e} "
+          f"land={lm[k+1,j+1,i+1]}")
