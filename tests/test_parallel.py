@@ -230,7 +230,7 @@ def test_sharded_continuation_equivalence():
 
     results = []
     for shard in (False, True):
-        ocean = make_2dmoc_ocean(n=3, m=8, l=6)
+        ocean = make_2dmoc_ocean(n=3, m=8, l=4)
         spinup(ocean)
         if shard:
             dom = Domain(ocean.cfg.n, ocean.cfg.m, ocean.cfg.l,
