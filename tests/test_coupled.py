@@ -39,6 +39,13 @@ def make_coupled(use_seaice=True, comb=0.3):
     seaice = SeaIce({"Global Grid-Size n": N, "Global Grid-Size m": M,
                      **BOUNDS, "Combined Forcing": comb}) \
         if use_seaice else None
+    # CPU-parity fixture solvers (the reference tests likewise pin
+    # per-fixture solver configs); the production BGS+Mixed ocean path
+    # is exercised by the 2dmoc/golden production tests
+    ocean.solver_params.set("Preconditioning", "Columns")
+    ocean.solver_params.set("Precision", "Double")
+    ocean.solver_params.set("FGMRES tolerance", 1e-8)
+    ocean._build_jitted()
     cpld = CoupledModel(ocean, atmos, seaice,
                         params={"Use sea ice": use_seaice},
                         solver_params={"FGMRES tolerance": 1e-10,
