@@ -173,7 +173,7 @@ def make_sharded_solve(ocean, domain, matvec=None, *,
 
     def _mk(An, b):
         factors = bgs.build(An, landm, periodic=cfg.periodic,
-                            int_row=int_row)
+                            ts_precond="MG", int_row=int_row)
 
         def proj(v):
             if nullq is None:
