@@ -244,9 +244,18 @@ def make_sharded_solve(ocean, domain, matvec=None, *,
                                jnp.zeros_like(r),
                                jnp.asarray(1e-6, b.dtype), maxiter,
                                stall_limit=60)
-            x = x + sol.x * scale
-            r = flat_b - mv64(x)
-            return x, r, jnp.linalg.norm(r), outer + 1, \
+            x_new = x + sol.x * scale
+            r_new = flat_b - mv64(x_new)
+            rn_new = jnp.linalg.norm(r_new)
+            # inexact-Krylov guard (see Ocean._solve_mixed_host): a
+            # sweep that fails to halve the true residual has hit the
+            # f32 noise floor — keep the better iterate and stop
+            # instead of letting further sweeps diverge
+            better = rn_new < rn
+            x = jnp.where(better, x_new, x)
+            r = jnp.where(better, r_new, r)
+            outer = jnp.where(rn_new >= 0.5 * rn, 12, outer + 1)
+            return x, r, jnp.minimum(rn_new, rn), outer, \
                 inner + sol.iters
 
         x0 = jnp.zeros_like(flat_b)

@@ -174,11 +174,50 @@ class MGPrec(NamedTuple):
     levels: tuple           # tuple of MGLevel, fine -> coarse
     coarse_inv: jnp.ndarray  # dense inverse at the coarsest level
     damping: jnp.ndarray    # smoother damping factor (scalar)
+    # prolongation neighbor weight: 0.0 = piecewise-constant
+    # injection, 0.25 = cell-centered bilinear interpolation (the
+    # correction transfer only — the Galerkin coarse operators stay
+    # PWC so the 27-point tensor structure is preserved).  Python
+    # float default (not jnp.asarray: a device array here would
+    # trigger backend init at import time)
+    pw: jnp.ndarray | float = 0.0
+
+
+def _prolong2(zc, m, n, w, periodic):
+    """Interpolate a coarse correction (..., mc, nc) to (..., m, n).
+
+    Cell-centered factor-2 prolongation with neighbor weight ``w``:
+    fine cell 2I+b reads (1-w) * zc[I] + w * zc[I -/+ 1] (parity
+    b=0/1).  w=0 is exact PWC injection (the historical behavior);
+    w=1/4 is bilinear interpolation between cell centers — the
+    piecewise-constant correction kinks were the weakest link of the
+    PWC-Galerkin cycle (docs/EFFORT.md round-4 levers).  Meridional
+    edges clamp (Neumann), zonal edges wrap when periodic."""
+    mc, nc = zc.shape[-2], zc.shape[-1]
+    # meridional (m) axis: clamp at the walls
+    zmm = jnp.concatenate([zc[..., :1, :], zc[..., :-1, :]], axis=-2)
+    zmp = jnp.concatenate([zc[..., 1:, :], zc[..., -1:, :]], axis=-2)
+    f0 = (1.0 - w) * zc + w * zmm
+    f1 = (1.0 - w) * zc + w * zmp
+    z = jnp.stack([f0, f1], axis=-2)           # (..., mc, 2, nc)
+    z = z.reshape(z.shape[:-3] + (2 * mc, nc))
+    # zonal (n) axis: wrap when periodic, clamp otherwise
+    if periodic:
+        znm = jnp.roll(z, 1, axis=-1)
+        znp_ = jnp.roll(z, -1, axis=-1)
+    else:
+        znm = jnp.concatenate([z[..., :1], z[..., :-1]], axis=-1)
+        znp_ = jnp.concatenate([z[..., 1:], z[..., -1:]], axis=-1)
+    g0 = (1.0 - w) * z + w * znm
+    g1 = (1.0 - w) * z + w * znp_
+    z = jnp.stack([g0, g1], axis=-1)           # (..., 2mc, nc, 2)
+    z = z.reshape(z.shape[:-3] + (2 * mc, 2 * nc))
+    return z[..., :m, :n]
 
 
 def build(An: jnp.ndarray, *, periodic: bool, min_cols: int = 64,
           max_levels: int = 10, damping: float = 0.9,
-          xline: bool = True) -> MGPrec:
+          xline: bool = True, prolong_w: float = 0.25) -> MGPrec:
     """Build the multigrid hierarchy for one stencil sub-block."""
     levels = []
     cur = An
@@ -215,7 +254,8 @@ def build(An: jnp.ndarray, *, periodic: bool, min_cols: int = 64,
     from ..ops.batched_linalg import inv_large
     coarse_inv = inv_large(A)
     return MGPrec(levels=tuple(levels), coarse_inv=coarse_inv,
-                  damping=jnp.asarray(damping, An.dtype))
+                  damping=jnp.asarray(damping, An.dtype),
+                  pw=jnp.asarray(prolong_w, An.dtype))
 
 
 def _smooth(lev: MGLevel, z, r, *, periodic, damping, nsweep=1):
@@ -270,9 +310,7 @@ def _vcycle(prec: MGPrec, k: int, r, *, periodic):
     else:
         zc = _vcycle(prec, k + 1, rc, periodic=periodic)
 
-    # piecewise-constant prolongation (inject into both parities)
-    zf = jnp.repeat(jnp.repeat(zc, 2, axis=2), 2, axis=3)
-    zf = zf[:, :, :m, :n]
+    zf = _prolong2(zc, m, n, prec.pw, periodic)
     z = z + zf
     z = _smooth(lev, z, r, periodic=periodic, damping=prec.damping)
     return z
@@ -373,10 +411,12 @@ class MG2DPrec(NamedTuple):
     levels: tuple
     coarse_inv: jnp.ndarray
     damping: jnp.ndarray
+    pw: jnp.ndarray | float = 0.0   # see MGPrec.pw
 
 
 def build2d(C: jnp.ndarray, *, periodic: bool, min_cols: int = 64,
-            max_levels: int = 10, damping: float = 0.8) -> MG2DPrec:
+            max_levels: int = 10, damping: float = 0.8,
+            prolong_w: float = 0.25) -> MG2DPrec:
     levels = []
     cur = C
     nlev = 0
@@ -409,7 +449,8 @@ def build2d(C: jnp.ndarray, *, periodic: bool, min_cols: int = 64,
     A = A + jnp.diag(empty) + 1e-12 * scale * jnp.eye(N, dtype=A.dtype)
     from ..ops.batched_linalg import inv_large
     return MG2DPrec(levels=tuple(levels), coarse_inv=inv_large(A),
-                    damping=jnp.asarray(damping, C.dtype))
+                    damping=jnp.asarray(damping, C.dtype),
+                    pw=jnp.asarray(prolong_w, C.dtype))
 
 
 def _smooth2d(lev: MG2DLevel, z, r, *, periodic, damping):
@@ -440,7 +481,7 @@ def _vcycle2d(prec: MG2DPrec, k: int, r, *, periodic):
                        damping=prec.damping)
     else:
         zc = _vcycle2d(prec, k + 1, rc, periodic=periodic)
-    zf = jnp.repeat(jnp.repeat(zc, 2, axis=0), 2, axis=1)[:m, :n]
+    zf = _prolong2(zc, m, n, prec.pw, periodic)
     z = z + zf
     return _smooth2d(lev, z, r, periodic=periodic, damping=prec.damping)
 

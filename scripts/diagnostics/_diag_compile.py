@@ -97,7 +97,7 @@ if which in ("all", "inner"):
     t0 = time.perf_counter()
     lowered = ocean._inner_fn.lower(ocean._jacK32,
                                     ocean._prec_factors32, r, nullq,
-                                    ocean._rint)
+                                    ocean._rint, jnp.asarray(1e-6))
     t1 = time.perf_counter()
     lowered.compile()
     t2 = time.perf_counter()
