@@ -197,15 +197,35 @@ def part_newton():
            "tolerance": tol, "compile_s": compile_s,
            "newton_step_ms": dt * 1e3, "mv_effort": mv,
            "solve_relres": rr}
-    # deep solve at 1e-8 (warm operator/preconditioner; extra
-    # refinement sweeps only — no recompilation since tol is traced)
+    # EMIT the headline record NOW: the deep solve below is optional
+    # extra credit, and rounds 2-4 lost three consecutive bench
+    # captures because its wall-clock-unbounded 1e-8 tail overran the
+    # part budget and destroyed the already-measured numbers.  The
+    # parent keeps the LAST parseable JSON line, so a timeout kill
+    # from here on still records the warm-step measurement.
+    print(json.dumps(out), flush=True)
+    # deep solve at 1e-8 (warm operator/preconditioner), bounded by a
+    # hard SIGALRM so it can never take the part down with it
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("deep solve budget")
+    deep_budget = int(os.environ.get("BENCH_DEEP_TIMEOUT", 180))
     ocean.solver_params.set("FGMRES tolerance", 1e-8)
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(deep_budget)
     t0 = time.perf_counter()
-    ocean.solve(b)
-    out["deep_solve"] = {"tolerance": 1e-8,
-                         "ms": (time.perf_counter() - t0) * 1e3,
-                         "mv_effort": ocean.solve_iters,
-                         "relres": ocean.solve_relres}
+    try:
+        ocean.solve(b)
+        out["deep_solve"] = {"tolerance": 1e-8,
+                             "ms": (time.perf_counter() - t0) * 1e3,
+                             "mv_effort": ocean.solve_iters,
+                             "relres": ocean.solve_relres}
+    except TimeoutError:
+        out["deep_solve"] = {"tolerance": 1e-8,
+                             "error": "budget %ds reached" % deep_budget}
+    finally:
+        signal.alarm(0)
     return out
 
 
@@ -226,7 +246,22 @@ def run_part(name, timeout):
         return {"error": ("no JSON from part; rc=%d tail=%r"
                           % (cp.returncode,
                              (cp.stdout + cp.stderr)[-300:]))}
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # the part may have emitted partial JSON records before the
+        # kill (part_newton prints the warm-step record early for
+        # exactly this case) — salvage the last one
+        partial = e.stdout or b""
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        for line in reversed(partial.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+                rec.setdefault(
+                    "note", "part %r hit its %ds budget after this "
+                    "record was emitted" % (name, timeout))
+                return rec
+            except json.JSONDecodeError:
+                continue
         return {"error": "part %r timed out after %ds" % (name, timeout)}
     except Exception as e:  # pragma: no cover
         return {"error": str(e)[:300]}
@@ -241,6 +276,8 @@ def main():
         import jax
         jax.config.update("jax_enable_x64", True)
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
         out = {"matvec": part_matvec, "newton": part_newton}[name]()
         print(json.dumps(out))
         return 0

@@ -30,8 +30,8 @@ def main(argv=None) -> int:
     from ..utils import hdf5 as h5
 
     ocean_params = read_xml("ocean_params.xml")
-    solver_params = read_xml("solver_params.xml") \
-        if os.path.exists("solver_params.xml") else None
+    from .run_ocean import read_solver_params
+    solver_params = read_solver_params()
     ams_params = read_xml("ams_params.xml")
     pars = dict(ams_params.items())
 

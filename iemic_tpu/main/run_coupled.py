@@ -38,7 +38,8 @@ def main(argv=None) -> int:
     seaice_params = load("seaice_params.xml")
     coupled_params = load("coupledmodel_params.xml")
     cont_params = load("continuation_params.xml")
-    solver_params = load("solver_params.xml")
+    from .run_ocean import read_solver_params
+    solver_params = read_solver_params()
 
     ocean = Ocean(ocean_params, solver_params=solver_params)
     atmos = Atmosphere(atmos_params) if atmos_params else None

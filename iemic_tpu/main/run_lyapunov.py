@@ -31,8 +31,8 @@ def main(argv=None) -> int:
 
     ocean_params = read_xml("ocean_params.xml")
     cont_params = read_xml("continuation_params.xml")
-    solver_params = read_xml("solver_params.xml") \
-        if os.path.exists("solver_params.xml") else None
+    from .run_ocean import read_solver_params
+    solver_params = read_solver_params()
     lyap_params = dict(read_xml("lyapunov_params.xml").items()) \
         if os.path.exists("lyapunov_params.xml") else {}
 

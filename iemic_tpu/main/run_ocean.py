@@ -33,6 +33,25 @@ def initialize_environment(workdir: str | None = None):
     return log
 
 
+def read_solver_params():
+    """solver_params.xml, with an optional separate nested
+    ``ocean_preconditioner_params.xml`` merged in as the
+    "Preconditioner" sublist — the reference keeps the per-block
+    preconditioner configuration in its own 4-level nested file
+    (parameterfiles/ocean_preconditioner_params.xml:427-560, read by
+    THCM alongside the solver list)."""
+    from ..config import read_xml
+    solver_params = read_xml("solver_params.xml") \
+        if os.path.exists("solver_params.xml") else None
+    if os.path.exists("ocean_preconditioner_params.xml"):
+        prec = read_xml("ocean_preconditioner_params.xml")
+        if solver_params is None:
+            from ..config import ParameterList
+            solver_params = ParameterList("Solver parameters")
+        solver_params.sublist("Preconditioner").update(prec)
+    return solver_params
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     workdir = argv[0] if argv else None
@@ -45,8 +64,7 @@ def main(argv=None) -> int:
 
     ocean_params = read_xml("ocean_params.xml")
     cont_params = read_xml("continuation_params.xml")
-    solver_params = read_xml("solver_params.xml") \
-        if os.path.exists("solver_params.xml") else None
+    solver_params = read_solver_params()
 
     ocean = Ocean(ocean_params,
                   solver_params=solver_params)

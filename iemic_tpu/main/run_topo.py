@@ -31,8 +31,8 @@ def main(argv=None) -> int:
     ocean_params = read_xml("ocean_params.xml")
     topo_params = read_xml("topo_params.xml")
     cont_params = read_xml("continuation_params.xml")
-    solver_params = read_xml("solver_params.xml") \
-        if os.path.exists("solver_params.xml") else None
+    from .run_ocean import read_solver_params
+    solver_params = read_solver_params()
 
     ocean = Ocean(ocean_params, solver_params=solver_params)
     topo = Topo(ocean, topo_params)

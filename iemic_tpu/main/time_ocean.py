@@ -27,8 +27,8 @@ def main(argv=None) -> int:
     from ..transient import transient_factory
 
     ocean_params = read_xml("ocean_params.xml")
-    solver_params = read_xml("solver_params.xml") \
-        if os.path.exists("solver_params.xml") else None
+    from .run_ocean import read_solver_params
+    solver_params = read_solver_params()
     time_params = read_xml("timestepper_params.xml") \
         if os.path.exists("timestepper_params.xml") else None
 

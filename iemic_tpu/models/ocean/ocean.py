@@ -109,6 +109,9 @@ def default_ocean_params() -> ParameterList:
     p.set("Save temperature flux", False)
     p.set("Max mask fixes", 5)
     p.set("Analyze Jacobian", False)
+    # where to find data/ (mkmask masks, Levitus fields) when launching
+    # from a run/ bundle directory; overridden by the data_dir kwarg
+    p.set("Data directory", "")
     p.set("THCM", default_thcm_params())
     return p
 
@@ -141,7 +144,13 @@ def default_solver_params() -> ParameterList:
     sub = default_prec_params()
     pp = ParameterList("Preconditioner")
     for k, v in sub.items():
-        if k != "Method":   # the method comes from "Preconditioning"
+        if k == "Method":
+            # empty = take the method from "Preconditioning"; a
+            # nested ocean_preconditioner_params.xml may set it
+            # explicitly and then dominates (reference: the separate
+            # preconditioner file names its own method)
+            pp.set(k, "")
+        else:
             pp.set(k, v)
     p.set("Preconditioner", pp)
     return p
@@ -194,6 +203,8 @@ class Ocean:
             solver_params = ParameterList("solver", solver_params)
         solver_params.validate_and_set_defaults(default_solver_params())
         self.solver_params = solver_params
+        if data_dir is None and params.get("Data directory"):
+            data_dir = params.get("Data directory")
         self._data_dir = data_dir
 
         t = params.sublist("THCM")
@@ -563,7 +574,8 @@ class Ocean:
         prec_params = dict(self.solver_params.sublist(
             "Preconditioner").items()) \
             if self.solver_params.is_sublist("Preconditioner") else {}
-        prec_params.setdefault("Method", prec_type)
+        if not prec_params.get("Method"):
+            prec_params["Method"] = prec_type
 
         def _int_row_provider():
             """Integral-condition row for the BGS ATS subsolve, with
@@ -795,11 +807,21 @@ class Ocean:
         import numpy as _np
         dx, res = fgmres_host(mv, _np.asarray(r), prec=pc,
                               tol=target / rn, maxiter=maxouter)
-        x = x + dx
-        r_new = flat_b - self._mv64_fn(self._jac_s, x, nullq,
+        x_new = x + dx
+        r_new = flat_b - self._mv64_fn(self._jac_s, x_new, nullq,
                                        self._rint)
-        return (x, int(res.iters) + inner_count[0],
-                float(jnp.linalg.norm(r_new)))
+        rn_new = float(jnp.linalg.norm(r_new))
+        if rn_new >= rn:
+            # monotonicity enforced, not just claimed: a stagnated
+            # outer sweep (or an f32 inner solve that poisoned the
+            # correction) must not return a worse iterate than it was
+            # given — mirror the contraction-guard rollback of
+            # _solve_mixed_host
+            return x, inner_count[0], rn
+        # effort metric: inner Krylov iterations only, consistent with
+        # the refinement loop's accounting (outer f64 iterations are
+        # reported via solve_relres context, not mixed into MV)
+        return x_new, inner_count[0], rn_new
 
     def _get_prec_factors(self):
         """Build (or reuse) the preconditioner factors for the current

@@ -112,3 +112,123 @@ def merge_masks(a: np.ndarray, b: np.ndarray,
     if mode == "overwrite":
         return np.where(b != 0, 1, a).astype(np.int64)
     raise ValueError(f"merge_masks: unknown mode '{mode}'")
+
+
+class MaskEditor:
+    """Mask editing session — the matlab/edit_mask.m analog.
+
+    The reference's editor is an interactive MATLAB figure for
+    clicking land cells on/off level by level; here the same edits are
+    scriptable (for reproducible mask pipelines) and an optional
+    matplotlib click-editor is provided where a display exists.
+
+    Operates on a raw (l, m, n) mask (0 = ocean, 1 = land); every edit
+    is recorded for undo and for dumping an edit script.
+    """
+
+    def __init__(self, raw):
+        self.mask = np.asarray(raw).copy()
+        self._undo = []
+        self.log = []
+
+    def _push(self):
+        self._undo.append(self.mask.copy())
+
+    def undo(self):
+        if self._undo:
+            self.mask = self._undo.pop()
+            self.log.append(("undo",))
+        return self
+
+    def toggle(self, j: int, i: int, k: int | None = None):
+        """Flip one cell (all levels when k is None) — the editor's
+        click action."""
+        self._push()
+        sl = slice(None) if k is None else k
+        self.mask[sl, j, i] = 1 - self.mask[sl, j, i]
+        self.log.append(("toggle", j, i, k))
+        return self
+
+    def set_box(self, j0: int, j1: int, i0: int, i1: int,
+                value: int = 1, k: int | None = None):
+        """Set a lat/lon box to land (1) or ocean (0)."""
+        self._push()
+        sl = slice(None) if k is None else k
+        self.mask[sl, j0:j1, i0:i1] = value
+        self.log.append(("set_box", j0, j1, i0, i1, value, k))
+        return self
+
+    def set_depth(self, j: int, i: int, nlev: int):
+        """Make column (j, i) ocean down to level nlev (0 = all land)
+        — the editor's per-column depth action."""
+        self._push()
+        self.mask[:, j, i] = 1
+        self.mask[:nlev, j, i] = 0
+        self.log.append(("set_depth", j, i, nlev))
+        return self
+
+    def flood(self, seed: tuple[int, int], periodic: bool = False):
+        """Apply the flood fill on the surface level and propagate the
+        resulting land columns down (removes lakes/bays, the editor's
+        cleanup action)."""
+        self._push()
+        surf = flood_fill(self.mask[0], seed, periodic=periodic)
+        self.mask[:, surf != 0] = 1
+        self.mask[0] = surf
+        self.log.append(("flood", seed, periodic))
+        return self
+
+    def smooth(self, min_neighbors: int = 2, iterations: int = 1):
+        self._push()
+        for k in range(self.mask.shape[0]):
+            self.mask[k] = smooth_mask(self.mask[k], min_neighbors,
+                                       iterations)
+        self.log.append(("smooth", min_neighbors, iterations))
+        return self
+
+    def save(self, path: str):
+        write_mask_file(path, self.mask)
+        return self
+
+    def interactive(self, level: int = 0):  # pragma: no cover
+        """Matplotlib click editor (left-click toggles a cell on the
+        shown level, 'u' undoes, up/down keys change level) — the
+        direct edit_mask.m experience where a display exists."""
+        import matplotlib.pyplot as plt
+        state = {"k": level}
+        fig, ax = plt.subplots()
+
+        def draw():
+            ax.clear()
+            ax.imshow(self.mask[state["k"]], origin="lower",
+                      cmap="Greys", vmin=0, vmax=1)
+            ax.set_title(f"level {state['k']} "
+                         "(click: toggle, u: undo, up/down: level)")
+            fig.canvas.draw_idle()
+
+        def on_click(ev):
+            if ev.inaxes is ax and ev.xdata is not None:
+                self.toggle(int(round(ev.ydata)), int(round(ev.xdata)),
+                            state["k"])
+                draw()
+
+        def on_key(ev):
+            if ev.key == "u":
+                self.undo()
+            elif ev.key == "up":
+                state["k"] = min(state["k"] + 1,
+                                 self.mask.shape[0] - 1)
+            elif ev.key == "down":
+                state["k"] = max(state["k"] - 1, 0)
+            draw()
+
+        fig.canvas.mpl_connect("button_press_event", on_click)
+        fig.canvas.mpl_connect("key_press_event", on_key)
+        draw()
+        plt.show()
+        return self
+
+
+def edit_mask(raw) -> MaskEditor:
+    """Open an editing session on a raw (l, m, n) mask (edit_mask.m)."""
+    return MaskEditor(raw)

@@ -232,7 +232,8 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
           uv_precond: str = "Columns",
           ts_precond: str = "Columns",
           spp_precond: str = "Jacobi",
-          int_row=None) -> BGSPrec:
+          int_row=None,
+          prolong_w: float = 0.25) -> BGSPrec:
     """Factor the preconditioner from the stencil tensor.
 
     int_row: optional (coeff (6, l, m, n), (var, k, j, i), scale) —
@@ -272,19 +273,21 @@ def build(An: jnp.ndarray, landm: np.ndarray, *, periodic: bool,
                        periodic=periodic, spp_scheme=spp_scheme,
                        rhomu=rhomu, rhomu_lambda=rhomu_lambda,
                        uv_precond=uv_precond, ts_precond=ts_precond,
-                       spp_precond=spp_precond)
+                       spp_precond=spp_precond, prolong_w=prolong_w)
 
 
 @partial(jax.jit, static_argnames=("periodic", "spp_scheme", "rhomu",
                                    "rhomu_lambda", "uv_precond",
-                                   "ts_precond", "spp_precond"))
+                                   "ts_precond", "spp_precond",
+                                   "prolong_w"))
 def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
                 icoeff, iidx, iscale,
                 *, periodic: bool, spp_scheme: str,
                 rhomu: bool, rhomu_lambda: float,
                 uv_precond: str = "Columns",
                 ts_precond: str = "Columns",
-                spp_precond: str = "Jacobi") -> BGSPrec:
+                spp_precond: str = "Jacobi",
+                prolong_w: float = 0.25) -> BGSPrec:
     _, nun, _, l, m, n = An.shape
 
     # ---- depth-averaged 2D saddle point over (u, v, p) ----------------
@@ -334,7 +337,8 @@ def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
     # SI/SL/SR schemes (the legacy "KRYLOV" scheme keeps the 2D
     # depth-averaged saddle with point-block Jacobi)
     from .saddlepoint import build_simple
-    spp_simple = build_simple(Spp, sv2d, periodic=periodic)
+    spp_simple = build_simple(Spp, sv2d, periodic=periodic,
+                              prolong_w=prolong_w)
 
     # 2D multigrid for the depth-averaged saddle (the barotropic
     # system is as polar-anisotropic as the tracer blocks): embed the
@@ -345,7 +349,8 @@ def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
         from . import mg as _mg
         Spp27 = jnp.zeros((27, 3, 3, 1, m, n), An.dtype)
         Spp27 = Spp27.at[:9, :, :, 0].set(Spp)
-        spp_mg = _mg.build(Spp27, periodic=periodic)
+        spp_mg = _mg.build(Spp27, periodic=periodic,
+                           prolong_w=prolong_w)
 
     # rho-mu transform of the TS block (setup_rhomu,
     # TRIOS_BlockPreconditioner.C:1376-1419): Q = (1/sqrt(2)) *
@@ -414,11 +419,12 @@ def _build_core(An: jnp.ndarray, ocean: jnp.ndarray, w: jnp.ndarray,
     uv_mg = ts_mg = None
     if uv_precond == "MG":
         from . import mg as _mg
-        uv_mg = _mg.build(An[:, _UV][:, :, _UV], periodic=periodic)
+        uv_mg = _mg.build(An[:, _UV][:, :, _UV], periodic=periodic,
+                           prolong_w=prolong_w)
     if ts_precond == "MG":
         from . import mg as _mg
         ts_mg = _mg.build(ts_rm if rhomu else An[:, _TS][:, :, _TS],
-                          periodic=periodic)
+                          periodic=periodic, prolong_w=prolong_w)
 
     # zonal line inverses of the momentum block for the saddle Ahat
     from .mg import _xline_inv as _mgxl

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from scipy.linalg import eig as scipy_eig
 
 from ..config import ParameterList
 from ..utils import logging as log
@@ -43,6 +44,10 @@ def default_jdqz_params() -> ParameterList:
     # jdqzpp GMRES on ComplexVector pairs)
     p.set("Solver tolerance", 1e-8)
     p.set("Solver iterations", 300)
+    # "auto" = JD correction equation for complex shifts (where the
+    # shift-invert embedding needed full-accuracy inner solves),
+    # shift-invert Krylov-Schur for real shifts; "JD"/"SI" force one
+    p.set("Method", "auto")
     return p
 
 
@@ -181,8 +186,258 @@ class JDQZ:
 
         return op, 2 * N, True
 
+    # ------------------------------------------------------------------
+    def _solve_jd(self):
+        """Jacobi-Davidson with the JD correction equation — the
+        reference's actual algorithm (jdqzpp behind
+        src/utils/JDQZInterface.H:37-57): expand the search space with
+        approximate solutions t of
+
+            (I - p u*)(A - theta B)(I - u u*) t = -r,   t _|_ u
+
+        (p = B u), preconditioned by the model's own preconditioner,
+        with an INNER TOLERANCE SCHEDULE 2^-k per outer step — loose
+        early solves are enough to steer the subspace, which is what
+        the round-4 shift-invert embedding could not do for complex
+        shifts (it needed fixed 1e-8 embedded solves, commit 16f0b5f).
+
+        Works on the shifted pencil (A, B) = (J - Re(sigma) B, B) with
+        target tau = i Im(sigma); harmonic Petrov test space
+        W = orth((A - tau B) V) (jdqzpp 'Testspace 3').  Converged
+        pairs are deflated by explicit orthogonal projection (for the
+        kmax <= O(10) eigenvalues of bifurcation analysis this is the
+        standard small-k alternative to a partial QZ form).
+        """
+        m = self.model
+        m.compute_jacobian()
+        m.compute_mass_matrix()
+        sr = float(self.sigma)
+        if sr != 0.0:
+            m.add_mass_to_jacobian(-sr)   # model now holds A = J - sr B
+        tau = 1j * float(self.sigma_im)
+        shape = np.shape(m.get_state())
+        N = int(np.prod(shape))
+        rng = np.random.default_rng(42)
+        stol = float(self.params.get("Solver tolerance"))
+        gm = int(self.params.get("GMRES search space"))
+        jmin = max(int(self.params.get("Min size search space")),
+                   self.kmax + 2)
+        jmax = max(self.jmax // 2, jmin + self.kmax + 4)
+
+        def Aop(v):
+            """A v for complex v (two real matvecs)."""
+            vr = jnp.asarray(np.ascontiguousarray(v.real).reshape(shape))
+            vi = jnp.asarray(np.ascontiguousarray(v.imag).reshape(shape))
+            return (np.asarray(m.apply_matrix(vr)).reshape(-1)
+                    + 1j * np.asarray(m.apply_matrix(vi)).reshape(-1))
+
+        def Bop(v):
+            vr = jnp.asarray(np.ascontiguousarray(v.real).reshape(shape))
+            vi = jnp.asarray(np.ascontiguousarray(v.imag).reshape(shape))
+            return (np.asarray(m.apply_mass_matrix(vr)).reshape(-1)
+                    + 1j * np.asarray(
+                        m.apply_mass_matrix(vi)).reshape(-1))
+
+        # preconditioner K^-1 ~ A^-1, applied to re/im parts (the
+        # PRECON callback of JDQZInterface on ComplexVector pairs)
+        if hasattr(m, "_get_prec_factors"):
+            factors, _ = m._get_prec_factors()
+            R = getattr(m, "_rowscale", None)
+            nullq = (m._get_deflator()
+                     if hasattr(m, "_get_deflator") else None)
+
+            def _k1(v):
+                r = jnp.asarray(np.ascontiguousarray(v).reshape(shape))
+                if R is not None:
+                    r = r * R
+                z = np.asarray(m._prec_apply(factors, r)).reshape(-1)
+                if nullq is not None:
+                    q = np.asarray(nullq)
+                    z = z - q @ (q.T @ z)
+                return z
+        else:
+            def _k1(v):
+                return np.asarray(m.solve(jnp.asarray(
+                    np.ascontiguousarray(v).reshape(shape)))).reshape(-1)
+
+        def Kinv(v):
+            return _k1(v.real) + 1j * _k1(v.imag)
+
+        def _gmres_c(op, b, tol, maxiter):
+            """Small complex GMRES (no restart; maxiter <= gm)."""
+            bn = np.linalg.norm(b)
+            if bn == 0.0:
+                return np.zeros_like(b), 0
+            Q = [b / bn]
+            H = np.zeros((maxiter + 1, maxiter), complex)
+            for k in range(maxiter):
+                w = op(Q[k])
+                for i in range(k + 1):
+                    H[i, k] = np.vdot(Q[i], w)
+                    w = w - H[i, k] * Q[i]
+                H[k + 1, k] = np.linalg.norm(w)
+                e1 = np.zeros(k + 2)
+                e1[0] = bn
+                y, res, _, _ = np.linalg.lstsq(H[:k + 2, :k + 1], e1,
+                                               rcond=None)
+                rk = np.linalg.norm(H[:k + 2, :k + 1] @ y - e1)
+                if rk < tol * bn or H[k + 1, k] < 1e-14:
+                    return np.column_stack(Q[:k + 1]) @ y, k + 1
+                Q.append(w / H[k + 1, k])
+            return np.column_stack(Q[:maxiter]) @ y, maxiter
+
+        def _orth_against(v, basis):
+            for q in basis:
+                v = v - np.vdot(q, v) * q
+            for q in basis:       # DGKS second pass
+                v = v - np.vdot(q, v) * q
+            return v
+
+        # search space
+        V = []          # list of complex N-vectors, orthonormal
+        AV = []
+        BV = []
+        Qc = []         # converged (deflated) eigenvectors
+        lams = []
+        total_mv = 0
+        v0 = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+        v0 = v0 / np.linalg.norm(v0)
+        V.append(v0)
+        AV.append(Aop(v0))
+        BV.append(Bop(v0))
+        total_mv += 2
+        k_outer = 0     # outer iterations spent on the current pair
+        it = 0
+        while it < self.maxiter and len(lams) < self.kmax:
+            it += 1
+            j = len(V)
+            Vm = np.column_stack(V)
+            AVm = np.column_stack(AV)
+            BVm = np.column_stack(BV)
+            # harmonic Petrov test space W = orth(AV - tau BV)
+            Wm, _ = np.linalg.qr(AVm - tau * BVm)
+            MA = Wm.conj().T @ AVm
+            MB = Wm.conj().T @ BVm
+            theta_all, Y = scipy_eig(MA, MB)
+            # closest finite Ritz value to the target
+            finite = np.isfinite(theta_all)
+            if not np.any(finite):
+                break
+            idx = np.argmin(np.where(finite,
+                                     np.abs(theta_all - tau), np.inf))
+            theta = theta_all[idx]
+            u = Vm @ Y[:, idx]
+            u = _orth_against(u, Qc)
+            nu = np.linalg.norm(u)
+            if nu < 1e-12:
+                # Ritz vector swallowed by the deflation space:
+                # restart direction
+                u = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+                nu = np.linalg.norm(u)
+            u = u / nu
+            Au = AVm @ Y[:, idx] / nu
+            Bu = BVm @ Y[:, idx] / nu
+            r = Au - theta * Bu
+            r = _orth_against(r, Qc)
+            rel = np.linalg.norm(r) / max(
+                np.linalg.norm(Au) + abs(theta) * np.linalg.norm(Bu),
+                1e-300)
+            if rel < self.tol:
+                lam = sr + theta
+                lams.append((lam, u.copy()))
+                Qc.append(u.copy())
+                k_outer = 0
+                # deflate the space and continue for the next pair
+                V = [_orth_against(v, [u]) for v in V]
+                keep = [i for i, v in enumerate(V)
+                        if np.linalg.norm(v) > 1e-8]
+                newV = []
+                for i in keep:
+                    v = _orth_against(V[i], newV)
+                    nv = np.linalg.norm(v)
+                    if nv > 1e-8:
+                        newV.append(v / nv)
+                V = newV or [v0]
+                AV = [Aop(v) for v in V]
+                BV = [Bop(v) for v in V]
+                total_mv += 2 * len(V)
+                continue
+
+            # ---- JD correction equation ------------------------------
+            p = Bu
+            up = np.vdot(u, p)
+            if abs(up) < 1e-14:
+                up = 1.0
+            yp = Kinv(p)
+            uyp = np.vdot(u, yp)
+            if abs(uyp) < 1e-14:
+                uyp = 1.0
+
+            def cop(t):
+                t = t - np.vdot(u, t) * u          # (I - u u*) t
+                y = Aop(t) - theta * Bop(t)
+                y = y - (np.vdot(u, y) / up) * p   # (I - p u*/(u*p))
+                # left preconditioning with the projected K
+                z = Kinv(y)
+                z = z - (np.vdot(u, z) / uyp) * yp
+                return z - np.vdot(u, z) * u
+
+            rhs = Kinv(-r)
+            rhs = rhs - (np.vdot(u, rhs) / uyp) * yp
+            rhs = rhs - np.vdot(u, rhs) * u
+            # inner tolerance schedule: 2^-k, floored by stol
+            tol_in = max(stol, 0.5 ** (k_outer + 1))
+            t, used = _gmres_c(cop, rhs, tol_in, gm)
+            total_mv += 2 * used
+            k_outer += 1
+            t = _orth_against(t, Qc)
+            t = _orth_against(t, V)
+            nt = np.linalg.norm(t)
+            if nt < 1e-12:
+                t = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+                t = _orth_against(_orth_against(t, Qc), V)
+                nt = np.linalg.norm(t)
+            t = t / nt
+            V.append(t)
+            AV.append(Aop(t))
+            BV.append(Bop(t))
+            total_mv += 2
+
+            # ---- restart: shrink to the jmin best Ritz vectors -------
+            if len(V) > jmax:
+                order = np.argsort(np.abs(theta_all - tau))[:jmin]
+                Ysel, _ = np.linalg.qr(Y[:, order])
+                Vm = np.column_stack(V[:Ysel.shape[0]])
+                AVm = np.column_stack(AV[:Ysel.shape[0]])
+                BVm = np.column_stack(BV[:Ysel.shape[0]])
+                Vn = Vm @ Ysel
+                V = [Vn[:, i] for i in range(Vn.shape[1])]
+                AVn = AVm @ Ysel
+                BVn = BVm @ Ysel
+                AV = [AVn[:, i] for i in range(AVn.shape[1])]
+                BV = [BVn[:, i] for i in range(BVn.shape[1])]
+
+        self.eigenvalues = np.asarray([lp[0] for lp in lams])
+        self.alpha = np.asarray([lp[0] for lp in lams], dtype=complex)
+        self.beta = np.ones(len(lams))
+        self.eigenvectors = [lp[1] for lp in lams]
+        self.kmax_converged = len(lams)
+        self._jd_matvecs = total_mv
+        if sr != 0.0:
+            m.compute_jacobian()
+        log.INFO(f"JDQZ(JD): {self.kmax_converged} converged, "
+                 f"{total_mv} matvecs, {it} outer iterations")
+        return 0
+
     def solve(self):
         """Shift-invert Arnoldi with Krylov-Schur style restarting."""
+        method = self.params.get("Method")
+        use_jd = (method == "JD"
+                  or (method == "auto" and self.sigma_im != 0.0
+                      and hasattr(self.model, "apply_matrix")))
+        if use_jd:
+            with log.timer("JDQZ: solve (JD)"):
+                return self._solve_jd()
         log.INFO("JDQZ: solve...")
         with log.timer("JDQZ: solve"):
             # inexact inner-solve schedule: start loose (the subspace

@@ -76,6 +76,9 @@ def default_prec_params() -> ParameterList:
     p.set("Auv Precond", "Columns")
     p.set("ATS Precond", "MG")
     p.set("Saddlepoint Precond", "Jacobi")   # or "MG"
+    # MG prolongation weight (0 = piecewise-constant, 0.25 = bilinear;
+    # see mg.build: nonzero makes the V-cycle nonsymmetric, FGMRES-only)
+    p.set("MG prolongation weight", 0.25)
     # block-GS sweep ordering M1/M2/M3 and GS vs symmetric GS
     # (TRIOS_BlockPreconditioner.H:93-99 "Permutation",
     #  :1287-1330 "Scheme")
@@ -86,7 +89,43 @@ def default_prec_params() -> ParameterList:
     p.set("MILU drop tolerance", 1e-3)
     p.set("MILU max levels", 12)
     p.set("MILU fill factor", 10.0)
+    # nested per-block sublists (the reference's 4-level
+    # ocean_preconditioner_params.xml:427-560 layout: Block
+    # Preconditioner -> {Auv,Saddlepoint,ATS} Solver/Precond ->
+    # method sublist).  Entries present here override the flat knobs
+    # above; see _apply_nested_block_lists.
+    for blk in ("Saddlepoint", "Auv", "ATS"):
+        s = p.sublist(blk + " Solver")
+        s.set("Iterations", -1)          # -1 = keep flat-knob value
+        s.set("Tolerance", -1.0)
+        s.set("Scheme", "")
+        s.set("Precond Method", "")      # the "<Block> Precond" layer
+        s.set("MG prolongation weight", -1.0)
     return p
+
+
+def _apply_nested_block_lists(params: ParameterList) -> None:
+    """Fold the nested per-block sublists into the flat knobs (the
+    reference reads 'Saddlepoint Solver'/'ATS Precond'-style nested
+    lists, ocean_preconditioner_params.xml:427-560)."""
+    for blk, it_key, tol_key, prec_key in [
+            ("Saddlepoint", "Saddlepoint iterations",
+             "Saddlepoint tolerance", "Saddlepoint Precond"),
+            ("Auv", "Auv iterations", "Auv tolerance", "Auv Precond"),
+            ("ATS", "ATS iterations", "ATS tolerance", "ATS Precond")]:
+        if params.is_sublist(blk + " Solver"):
+            sl = params.sublist(blk + " Solver")
+            if sl.get("Iterations", -1) >= 0:
+                params.set(it_key, int(sl.get("Iterations")))
+            if sl.get("Tolerance", -1.0) > 0:
+                params.set(tol_key, float(sl.get("Tolerance")))
+            if blk == "Saddlepoint" and sl.get("Scheme", ""):
+                params.set("Saddlepoint scheme", sl.get("Scheme"))
+            if sl.get("Precond Method", ""):
+                params.set(prec_key, sl.get("Precond Method"))
+            if sl.get("MG prolongation weight", -1.0) >= 0:
+                params.set("MG prolongation weight",
+                           float(sl.get("MG prolongation weight")))
 
 
 def make_preconditioner(params: ParameterList | dict | None, *,
@@ -105,6 +144,7 @@ def make_preconditioner(params: ParameterList | dict | None, *,
     if isinstance(params, dict):
         params = ParameterList("Preconditioner", params)
     params.validate_and_set_defaults(default_prec_params())
+    _apply_nested_block_lists(params)
     method = params.get("Method")
     l, m, n = grid_shape
 
@@ -138,6 +178,7 @@ def make_preconditioner(params: ParameterList | dict | None, *,
         uv_prec = params.get("Auv Precond")
         ts_prec = params.get("ATS Precond")
         spp_prec = params.get("Saddlepoint Precond")
+        pw = float(params.get("MG prolongation weight"))
 
         def build(An):
             int_row = (int_row_provider()
@@ -146,7 +187,8 @@ def make_preconditioner(params: ParameterList | dict | None, *,
                              spp_scheme=scheme, rhomu=rhomu,
                              rhomu_lambda=rm_lam,
                              uv_precond=uv_prec, ts_precond=ts_prec,
-                             spp_precond=spp_prec, int_row=int_row)
+                             spp_precond=spp_prec, int_row=int_row,
+                             prolong_w=pw)
 
         def apply(fac, r):
             return bgs.apply(fac, r, periodic=periodic,

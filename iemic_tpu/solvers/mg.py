@@ -218,7 +218,17 @@ def _prolong2(zc, m, n, w, periodic):
 def build(An: jnp.ndarray, *, periodic: bool, min_cols: int = 64,
           max_levels: int = 10, damping: float = 0.9,
           xline: bool = True, prolong_w: float = 0.25) -> MGPrec:
-    """Build the multigrid hierarchy for one stencil sub-block."""
+    """Build the multigrid hierarchy for one stencil sub-block.
+
+    With ``prolong_w > 0`` (bilinear-ish interpolation) the cycle is
+    NONSYMMETRIC: restriction stays sum-aggregation, so it is not the
+    transpose of the prolongation.  That is fine as a preconditioner
+    for FGMRES/IDR (all users in this package) but unsafe for a
+    symmetric Krylov method (CG/MINRES) — set ``prolong_w=0`` (PWC,
+    the transpose pair) if ever used there.  The knob is plumbed
+    per-block through :func:`bgs.build` / :func:`saddlepoint
+    .build_simple` so it can be tuned per sub-block.
+    """
     levels = []
     cur = An
     nlev = 0

@@ -89,7 +89,8 @@ class SppSimple(NamedTuple):
 
 
 def build_simple(Spp: jnp.ndarray, sv2d: jnp.ndarray, *,
-                 periodic: bool) -> SppSimple:
+                 periodic: bool,
+                 prolong_w: float = 0.25) -> SppSimple:
     """Factor the SIMPLE pieces from the depth-averaged saddle stencil.
 
     Spp: (9, 3, 3, m, n) with variable order (u, v, p); sv2d: (2, m, n)
@@ -141,7 +142,8 @@ def build_simple(Spp: jnp.ndarray, sv2d: jnp.ndarray, *,
     chat_dinv = jnp.where(okc, 1.0 / jnp.where(okc, dC, 1.0), 1.0)
 
     from . import mg as _mg
-    chat_mg = _mg.build2d(chat, periodic=periodic)
+    chat_mg = _mg.build2d(chat, periodic=periodic,
+                          prolong_w=prolong_w)
 
     return SppSimple(Spp=Spp, auv_inv=auv_inv, chat=chat,
                      chat_dinv=chat_dinv, nullmodes=sv2d,

@@ -103,7 +103,15 @@ def _masked_ocean(n=8, m=8, l=4):
     return ocean
 
 
-@pytest.mark.parametrize("shape", [(1, 1), (2, 4), (4, 2), (1, 8)])
+# one representative mesh shape runs in the default profile; the
+# remaining decompositions only vary the GSPMD partitioning of the
+# same graph and each pays a multi-minute 8-device compile, so they
+# run in the `slow` profile (TESTLOG.md)
+@pytest.mark.parametrize("shape", [
+    pytest.param((1, 1), marks=pytest.mark.slow),
+    (2, 4),
+    pytest.param((4, 2), marks=pytest.mark.slow),
+    pytest.param((1, 8), marks=pytest.mark.slow)])
 def test_sharded_preconditioned_solve_equivalence(shape):
     """The FULL preconditioned solve (shard_map halo matvec + GSPMD
     block-GS preconditioner + global deflation) converges identically
@@ -158,7 +166,9 @@ def test_sharded_newton_step_equivalence():
                                rtol=1e-4, atol=1e-7)
 
 
-@pytest.mark.parametrize("shape", [(1, 1), (2, 4)])
+@pytest.mark.parametrize("shape", [
+    pytest.param((1, 1), marks=pytest.mark.slow),
+    (2, 4)])
 def test_sharded_mixed_solve_equivalence(shape):
     """The sharded MIXED-precision solve (f32 shard_map matvec + f32
     GSPMD block-GS inside an f64 Arnoldi with jitted f64 refinement,
@@ -186,6 +196,7 @@ def test_sharded_mixed_solve_equivalence(shape):
     assert rel < 1e-7, f"true residual {rel} on mesh {shape}"
 
 
+@pytest.mark.slow
 def test_sharded_continuation_equivalence():
     """A full 2-step pseudo-arclength continuation (Euler predictor,
     bordered Newton corrector, detect, Seydel step control) executes

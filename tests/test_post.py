@@ -127,3 +127,76 @@ def test_merge_masks():
     assert i.sum() == 2 * 1  # only the corner column
     o = merge_masks(np.zeros_like(a), b, "overwrite")
     assert (o == b).all()
+
+
+def test_mask_editor_ops(tmp_path):
+    """MaskEditor (edit_mask.m analog): toggle/box/depth/flood/undo."""
+    from iemic_tpu.post import edit_mask
+    from iemic_tpu.models.ocean import landmask as lm
+    from iemic_tpu.grid import make_grid
+
+    ed = edit_mask(np.zeros((3, 6, 6), dtype=np.int64))
+    ed.toggle(2, 2)                          # land column
+    assert np.all(ed.mask[:, 2, 2] == 1)
+    ed.toggle(2, 2, k=0)                     # surface back to ocean
+    assert ed.mask[0, 2, 2] == 0 and ed.mask[1, 2, 2] == 1
+    ed.undo().undo()
+    assert ed.mask.sum() == 0
+    ed.set_box(0, 6, 3, 4)                   # meridional wall
+    ed.set_depth(1, 1, 1)                    # shallow shelf column
+    assert ed.mask[0, 1, 1] == 0 and np.all(ed.mask[1:, 1, 1] == 1)
+    ed.flood((0, 0))                         # east basin unreachable
+    assert np.all(ed.mask[:, :, 4:] == 1)
+    path = tmp_path / "mask_edit"
+    ed.save(str(path))
+    g = make_grid(6, 6, 3, xmin_deg=0, xmax_deg=60, ymin_deg=-30,
+                  ymax_deg=30)
+    back = lm.read_mask_file(str(path), g)
+    np.testing.assert_array_equal(back[1:4, 1:7, 1:7], ed.mask)
+    assert len(ed.log) >= 5                  # reproducible edit script
+
+
+def test_readers_state_and_eigen(tmp_path):
+    """readers.py (readhdf5.m analog): state, eigen, grid reshape."""
+    from iemic_tpu.utils import hdf5 as h5
+    from iemic_tpu.post import (read_state, read_eigen, state_to_grid)
+
+    n = m = 3
+    l = 2
+    nun = 6
+    flat = np.arange(nun * n * m * l + 1, dtype=float)  # +1 aux row
+    h5.save_state(str(tmp_path / "s.h5"), flat,
+                  {"Combined Forcing": 0.25}, grid_meta={"z": [0., 1.]})
+    st = read_state(str(tmp_path / "s.h5"))
+    np.testing.assert_array_equal(st["state"], flat)
+    assert st["parameters"]["Combined Forcing"] == 0.25
+
+    g = state_to_grid(st["state"], n, m, l)
+    # row = nun*((k*m + j)*n + i) + var  (matetc.F90 find_row2)
+    assert g["u"][0, 0, 1] == nun * 1
+    assert g["T"][1, 2, 0] == nun * ((1 * m + 2) * n) + 4
+    assert g["aux"].shape == (1,)
+
+    vecs = [np.arange(4.0) + 1j, np.ones(4) - 2j]
+    h5.save_eigenvectors(str(tmp_path / "ev.h5"),
+                         [1 + 2j, 3 + 0j], [1.0, 1.0], vecs)
+    ev = read_eigen(str(tmp_path / "ev.h5"))
+    np.testing.assert_allclose(ev["eigenvalues"], [1 + 2j, 3 + 0j])
+    np.testing.assert_allclose(ev["vectors"][0], vecs[0])
+
+
+def test_readers_cdata_profile(tmp_path):
+    from iemic_tpu.post import read_cdata, read_profile
+    p = tmp_path / "cdata.txt"
+    p.write_text("#          par        ds       |x|       |F|   NR  MV\n"
+                 "0.1 0.01 1.0 1e-9 3 50\n0.2 0.02 2.0 1e-9 4 52\n")
+    d = read_cdata(str(p))
+    np.testing.assert_allclose(d["par"], [0.1, 0.2])
+    np.testing.assert_allclose(d["MV"], [50, 52])
+
+    pr = tmp_path / "profile_output"
+    pr.write_text("label one          1.25     5   0.25\n"
+                  "other label        3.5      7   0.5\n")
+    prof = read_profile(str(pr))
+    assert prof["label one"]["calls"] == 5
+    assert prof["other label"]["total"] == 3.5
