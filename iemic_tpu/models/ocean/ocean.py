@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -798,6 +799,11 @@ class Ocean:
             vn = float(jnp.linalg.norm(v))
             if vn == 0.0:
                 return v
+            # full-depth inner solve: a capped 'short' pc (tried in
+            # round 5) collapsed the outer convergence on fixtures
+            # whose inner solves need ~150 iterations — 137 outers x
+            # 24 capped iterations missed 1e-8 where 3 outers with
+            # full-depth pc solves reach it
             dz, its, _ = self._inner_fn(self._jacK32, factors32,
                                         v / vn, nullq, self._rint,
                                         jnp.asarray(1e-2))

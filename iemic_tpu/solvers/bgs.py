@@ -563,7 +563,9 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
         use the 3D saddle below."""
         rbar = jnp.concatenate([jnp.mean(ruv, axis=1),
                                 jnp.mean(rp, axis=1)])
-        zbar = _inner_fgmres(spp_mv, spp_pc, rbar, tol_spp, nit_spp)
+        zbar = (spp_pc(rbar.reshape(-1)) if nit_spp == 0
+                else _inner_fgmres(spp_mv, spp_pc, rbar, tol_spp,
+                                   nit_spp))
         return zbar.reshape(3, m, n)
 
     # ---- the 3D saddle of SolveLower1 --------------------------------
@@ -649,7 +651,10 @@ def apply(prec: BGSPrec, r: jnp.ndarray, *, periodic: bool,
         rhs = jnp.concatenate([ruv3.reshape(-1),
                                _p_deflate(jnp.mean(bp3[0], axis=0))
                                .reshape(-1)])
-        sol = _inner_fgmres(s3_mv, s3_pc, rhs, tol_spp, nit_spp)
+        # nit == 0: one preconditioner application (the "Solver
+        # Method = None" production option, like auv_solve below)
+        sol = (s3_pc(rhs) if nit_spp == 0
+               else _inner_fgmres(s3_mv, s3_pc, rhs, tol_spp, nit_spp))
         sol = sol.reshape(-1)
         return (sol[:Nuv].reshape(2, l, m, n),
                 _p_deflate(sol[Nuv:].reshape(m, n)))

@@ -25,9 +25,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(
     os.path.abspath(__file__)), ".."))
 
 
-def _global_ocean():
+def _global_ocean(prec_overrides: dict | None = None):
     from iemic_tpu.models.ocean import Ocean
     n, m, l = 96, 38, 12
+    sp = {
+        "Preconditioning": os.environ.get("BENCH_PREC", "BGS"),
+        "Precision": os.environ.get("BENCH_PRECISION", "Mixed"),
+        "FGMRES tolerance": float(os.environ.get("BENCH_TOL", 1e-3)),
+        "FGMRES iterations": int(os.environ.get("BENCH_MAXITER", 200)),
+        "Matvec kernel": os.environ.get("BENCH_KERNEL", "auto")}
+    if prec_overrides:
+        sp["Preconditioner"] = dict(prec_overrides)
     return Ocean({"THCM": {
         "Global Grid-Size n": n, "Global Grid-Size m": m,
         "Global Grid-Size l": l,
@@ -40,12 +48,7 @@ def _global_ocean():
                                 "Temperature Forcing": 10.0,
                                 "Wind Forcing": 1.0,
                                 "Salinity Forcing": 0.1},
-    }}, solver_params={
-        "Preconditioning": os.environ.get("BENCH_PREC", "BGS"),
-        "Precision": os.environ.get("BENCH_PRECISION", "Mixed"),
-        "FGMRES tolerance": float(os.environ.get("BENCH_TOL", 1e-3)),
-        "FGMRES iterations": int(os.environ.get("BENCH_MAXITER", 200)),
-        "Matvec kernel": os.environ.get("BENCH_KERNEL", "auto")},
+    }}, solver_params=sp,
         data_dir=os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "data"))
 
@@ -156,9 +159,103 @@ def cmd_effort2d():
               flush=True)
 
 
+def cmd_sweep():
+    """MV-effort sweep over preconditioner variants on the masked
+    global grid (the De Niet & Wubs design point,
+    TRIOS_BlockPreconditioner.H:40-43): one production solve at tol
+    1e-3 per variant, reporting the cdata MV column.  Results feed
+    docs/EFFORT.md."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    variants = {
+        "base(SI,spp30@1e-6,uv12@1e-2,ATS-MG-once)": {},
+        "spp60@1e-8": {"Saddlepoint iterations": 60,
+                       "Saddlepoint tolerance": 1e-8},
+        "ats4": {"ATS iterations": 4},
+        "uv24@1e-3": {"Auv iterations": 24, "Auv tolerance": 1e-3},
+        "symGS": {"Scheme": "symmetric Gauss-Seidel"},
+        "rhomu": {"ATS rho/mu Transform": True},
+        "pwc-prolong": {"MG prolongation weight": 0.0},
+    }
+    only = sys.argv[2:] if len(sys.argv) > 2 else None
+    for name, over in variants.items():
+        if only and not any(o in name for o in only):
+            continue
+        t0 = time.perf_counter()
+        ocean = _global_ocean(prec_overrides=over)
+        ocean.compute_rhs()
+        b = -ocean.rhs
+        ocean.compute_jacobian()
+        ocean._prec_for = None
+        ocean._get_prec_factors()
+        jax.block_until_ready(ocean.solve(b))          # compile + warm
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(ocean.solve(0.7 * b))
+        dt = time.perf_counter() - t0
+        print(json.dumps({"variant": name,
+                          "mv": int(ocean.solve_iters),
+                          "relres": float(ocean.solve_relres),
+                          "solve_s": round(dt, 2),
+                          "setup_s": round(t_compile, 1)}), flush=True)
+        del ocean
+
+
+def cmd_milu():
+    """MILU (native MRILU analog) vs the TPU-native preconditioners on
+    the reference test fixtures — the measured justification VERDICT
+    r4 #9 asks for: does MG/columns-based BGS match DD-MILU effort?
+    Runs on CPU (MILU factors/solves host-side via ctypes)."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    import numpy as np
+    import jax.numpy as jnp
+    from iemic_tpu.models.ocean import Ocean
+
+    for tol in (1e-4, 1e-8):
+        for method in ("BGS", "MILU", "Columns"):
+            ocean = Ocean({"THCM": {
+                "Global Grid-Size n": 16, "Global Grid-Size m": 16,
+                "Global Grid-Size l": 16, "Periodic": False,
+                "Starting Parameters": {
+                    "Combined Forcing": 0.1,
+                    "Temperature Forcing": 10.0,
+                    "Wind Forcing": 1.0, "Salinity Forcing": 0.1}}},
+                solver_params={"Preconditioning": method,
+                               "Precision": "Double",
+                               "FGMRES tolerance": tol,
+                               "FGMRES iterations": 400})
+            ocean.compute_rhs()
+            b = -ocean.rhs
+            ocean.compute_jacobian()
+            t0 = time.perf_counter()
+            ocean._prec_for = None
+            ocean._get_prec_factors()
+            t_factor = time.perf_counter() - t0
+            jax.block_until_ready(ocean.solve(b))    # compile + warm
+            t0 = time.perf_counter()
+            jax.block_until_ready(ocean.solve(0.7 * b))
+            t_solve = time.perf_counter() - t0
+            print(json.dumps({
+                "fixture": "ocean 16x16x16 (reference test scale)",
+                "method": method, "tol": tol,
+                "mv": int(ocean.solve_iters),
+                "relres": float(ocean.solve_relres),
+                "factor_s": round(t_factor, 2),
+                "solve_s": round(t_solve, 2)}), flush=True)
+            del ocean
+
+
 def main():
     cmds = {"newton": cmd_newton, "compile": cmd_compile,
-            "effort2d": cmd_effort2d}
+            "effort2d": cmd_effort2d, "sweep": cmd_sweep,
+            "milu": cmd_milu}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(__doc__)
         return 1
