@@ -166,9 +166,12 @@ def test_sharded_newton_step_equivalence():
                                rtol=1e-4, atol=1e-7)
 
 
-@pytest.mark.parametrize("shape", [
-    pytest.param((1, 1), marks=pytest.mark.slow),
-    (2, 4)])
+# both shapes are slow-profile: reaching 1e-8 through the Mixed
+# refinement + GMRES-IR machinery costs thousands of inner iterations,
+# each ~100x slower on the emulated virtual-device mesh than on chips
+# (measured: (1,1) 6233 inner its / 90 s solo; see TESTLOG.md)
+@pytest.mark.slow
+@pytest.mark.parametrize("shape", [(1, 1), (2, 4)])
 def test_sharded_mixed_solve_equivalence(shape):
     """The sharded MIXED-precision solve (f32 shard_map matvec + f32
     GSPMD block-GS inside an f64 Arnoldi with jitted f64 refinement,
