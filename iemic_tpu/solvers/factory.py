@@ -46,8 +46,12 @@ def default_prec_params() -> ParameterList:
     p = ParameterList("Preconditioner")
     p.set("Method", "Columns")
     # BGS inner-iteration budget (the reference's per-block solver
-    # parameter sublists, ocean_preconditioner_params.xml:427-560)
-    p.set("Saddlepoint iterations", 30)
+    # parameter sublists, ocean_preconditioner_params.xml:427-560).
+    # 60@1e-8: the round-5 sweep on the masked global grid measured
+    # MV effort 69 per solve at tol 1e-3 vs 172 with 30@1e-6 — the
+    # deeper saddle solve more than pays for itself (and halves the
+    # solve wall time); see docs/EFFORT.md round-5 table.
+    p.set("Saddlepoint iterations", 60)
     # "SI"/"SL"/"SR": the 3D saddle of SolveLower1 with the
     # SIMPLE-type preconditioner (production); "KRYLOV" keeps the
     # legacy depth-averaged 2D saddle for parity experiments
@@ -60,7 +64,7 @@ def default_prec_params() -> ParameterList:
     # inner-Krylov preconditioner floors the outer residual at
     # the inner accuracy (the reference runs inner 1e-4 under
     # outer 1e-3, same margin)
-    p.set("Saddlepoint tolerance", 1e-6)
+    p.set("Saddlepoint tolerance", 1e-8)
     p.set("Auv tolerance", 1e-2)
     p.set("ATS tolerance", 1e-2)
     # rho-mu orthogonal transform of the TS block for convective
