@@ -140,6 +140,7 @@ def test_salinity_forcing_continuation(moc_state):
     assert abs(ocean.get_par("Salinity Forcing") - 0.02) < 1e-6
 
 
+@pytest.mark.slow
 def test_2dmoc_production_path(moc_state):
     """The full Combined-Forcing leg through the PRODUCTION solver
     stack — BGS block preconditioner + mixed precision at the

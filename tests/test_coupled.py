@@ -165,6 +165,7 @@ def test_coupled_newton():
     assert float(jnp.linalg.norm(cpld.get_rhs())) < 1e-6
 
 
+@pytest.mark.slow
 def test_coupled_continuation():
     """Two Combined-Forcing continuation steps of the full coupled
     system — the reference's coupled continuation test pattern
